@@ -1,0 +1,180 @@
+"""Command-line driver, flag-compatible with the reference binary.
+
+Same surface as main.c:50-58: ``-c -d -i -o -l -s -h`` with identical
+validation ranges (la in [2,255], sb in [0,65535] — main.c:35-38), identical
+duplicate-flag rejection, plus TPU-build extensions that never leak into the
+stream format: block size, batch size, matcher backend, stats report.
+
+Divergence (SURVEY.md §2.3.8): sb values of 0, 1 or exact powers of two are
+rejected by default because the reference encoder corrupts data for them;
+``--force-sb`` accepts them anyway using the safe restricted distance limit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from . import spec
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lz77",
+        description="TPU-native LZ77 codec (stream-compatible with cstdvd/lz77)",
+        add_help=False,
+    )
+    p.add_argument("-c", dest="mode", action="store_const", const="encode",
+                   help="Encode input file to output file.")
+    p.add_argument("-d", dest="mode", action="store_const", const="decode",
+                   help="Decode input file to output file.")
+    p.add_argument("-i", dest="input", action="append",
+                   help="Name of input file.")
+    p.add_argument("-o", dest="output", action="append",
+                   help="Name of output file.")
+    p.add_argument("-l", dest="la", type=int, default=None,
+                   help="Lookahead size (default 15)")
+    p.add_argument("-s", dest="sb", type=int, default=None,
+                   help="Search-buffer size (default 4095)")
+    p.add_argument("-h", action="help",
+                   help="Command line options.")
+    # TPU-build extensions (out-of-band: never affect the stream format).
+    p.add_argument("--block-size", type=int, default=None,
+                   help="Encoder block size in bytes (device parallel unit)")
+    p.add_argument("--batch-blocks", type=int, default=None,
+                   help="Blocks encoded per device batch")
+    p.add_argument("--matcher", choices=("sorted", "brute"), default="sorted",
+                   help="Match-finder backend")
+    p.add_argument("--backend", choices=("jax", "native", "numpy"),
+                   default="jax", help="Execution backend")
+    p.add_argument("--force-sb", action="store_true",
+                   help="Accept degenerate -s values the reference corrupts "
+                        "(0/1/powers of two); encoded safely, not corruptly")
+    p.add_argument("--report", action="store_true",
+                   help="Print a JSON run report to stderr")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    # Reference-compatible validation (main.c:82-95, 101-115, 132-139).
+    if args.input and len(args.input) > 1:
+        print("Multiple input files not allowed.", file=sys.stderr)
+        return 1
+    if args.output and len(args.output) > 1:
+        print("Multiple output files not allowed.", file=sys.stderr)
+        return 1
+    if args.la is not None and not (
+        spec.MIN_LA_SIZE <= args.la <= spec.MAX_LA_SIZE
+    ):
+        print("Bad lookahead size value.", file=sys.stderr)
+        return 1
+    if args.sb is not None and not (0 <= args.sb <= spec.MAX_SB_SIZE):
+        print("Bad search-buffer size value.", file=sys.stderr)
+        return 1
+    if args.sb is not None and spec.is_degenerate_sb(args.sb):
+        if not args.force_sb or args.sb < 1:
+            print(
+                f"Search-buffer size {args.sb} is degenerate: the reference "
+                "encoder corrupts data for 0, 1 and powers of two "
+                "(bitof(2^k)=k cannot hold offset 2^k). Use a non-power "
+                "size, or --force-sb to encode safely anyway.",
+                file=sys.stderr,
+            )
+            return 1
+    if not args.input:
+        print("Input file must be provided", file=sys.stderr)
+        return 1
+    if not args.output:
+        print("Output file must be provided", file=sys.stderr)
+        return 1
+    if args.mode is None:
+        print("Select ENCODE or DECODE mode", file=sys.stderr)
+        return 1
+
+    la = args.la if args.la is not None else spec.DEFAULT_LA_SIZE
+    sb = args.sb if args.sb is not None else spec.DEFAULT_SB_SIZE
+    params = spec.Params(la=la, sb=sb)
+
+    try:
+        with open(args.input[0], "rb") as f:
+            data = f.read()
+    except OSError as e:
+        print(f"Opening input file: {e.strerror}", file=sys.stderr)
+        return 1
+
+    t0 = time.perf_counter()
+    if args.mode == "encode":
+        result, report = _encode(data, params, args)
+    else:
+        result, report = _decode(data, args)
+    dt = time.perf_counter() - t0
+
+    try:
+        with open(args.output[0], "wb") as f:
+            f.write(result)
+    except OSError as e:
+        print(f"Opening output file: {e.strerror}", file=sys.stderr)
+        return 1
+
+    if args.report:
+        report.update(
+            mode=args.mode,
+            seconds=round(dt, 6),
+            input_bytes=len(data),
+            output_bytes=len(result),
+            mb_per_s=round(len(data) / dt / 1e6, 3) if dt > 0 else None,
+        )
+        print(json.dumps(report), file=sys.stderr)
+    return 0
+
+
+def _encode(data: bytes, params: spec.Params, args):
+    if args.backend == "numpy":
+        from .models import spec_np
+
+        return spec_np.encode(data, params), {"backend": "numpy"}
+    if args.backend == "native":
+        from . import native
+
+        return native.encode(data, params), {"backend": "native"}
+    from .models import codec
+
+    stats = codec.EncodeStats()
+    kwargs = {}
+    if args.block_size:
+        kwargs["block_size"] = args.block_size
+    if args.batch_blocks:
+        kwargs["batch_blocks"] = args.batch_blocks
+    out = codec.encode_bytes(
+        data, params, matcher=args.matcher, stats=stats, **kwargs
+    )
+    return out, {
+        "backend": "jax",
+        "matcher": args.matcher,
+        "tokens": stats.tokens,
+        "blocks": stats.blocks,
+        "ratio": round(stats.ratio, 6),
+    }
+
+
+def _decode(data: bytes, args):
+    if args.backend == "numpy":
+        from .models import spec_np
+
+        return spec_np.decode(data), {"backend": "numpy"}
+    if args.backend == "native":
+        from . import native
+
+        return native.decode(data), {"backend": "native"}
+    from .models import codec
+
+    return codec.decode_bytes(data), {"backend": "jax"}
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,13 +9,20 @@ import os
 import subprocess
 import sys
 
-# Force CPU with 8 virtual devices BEFORE any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices BEFORE any jax import.  The environment
+# pins JAX_PLATFORMS=axon (the TPU tunnel), and the axon plugin re-registers
+# itself at import, so we must both override the env var and update the
+# config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,87 @@
+"""CLI surface tests: reference flag compatibility + divergence policy."""
+
+import numpy as np
+import pytest
+
+from lz77_tpu import cli
+
+from conftest import CORPUS_SMALL
+
+
+def run_cli(argv):
+    return cli.main(argv)
+
+
+def test_roundtrip_via_cli(tmp_path, rng):
+    data = CORPUS_SMALL["text"](rng)
+    inp, comp, out = tmp_path / "in", tmp_path / "comp", tmp_path / "out"
+    inp.write_bytes(data)
+    assert run_cli(["-c", "-i", str(inp), "-o", str(comp),
+                    "-s", "255", "--block-size", "1024"]) == 0
+    assert run_cli(["-d", "-i", str(comp), "-o", str(out)]) == 0
+    assert out.read_bytes() == data
+
+
+def test_numpy_backend_roundtrip(tmp_path, rng):
+    data = CORPUS_SMALL["runs"](rng)[:500]
+    inp, comp, out = tmp_path / "in", tmp_path / "comp", tmp_path / "out"
+    inp.write_bytes(data)
+    assert run_cli(["-c", "-i", str(inp), "-o", str(comp),
+                    "--backend", "numpy"]) == 0
+    assert run_cli(["-d", "-i", str(comp), "-o", str(out),
+                    "--backend", "numpy"]) == 0
+    assert out.read_bytes() == data
+
+
+def test_validation_errors(tmp_path, capsys):
+    f = tmp_path / "f"
+    f.write_bytes(b"x")
+    # bad la (main.c:101-107)
+    assert run_cli(["-c", "-i", str(f), "-o", str(f) + ".o", "-l", "1"]) == 1
+    assert run_cli(["-c", "-i", str(f), "-o", str(f) + ".o", "-l", "256"]) == 1
+    # bad sb (main.c:109-115)
+    assert run_cli(["-c", "-i", str(f), "-o", str(f) + ".o", "-s", "65536"]) == 1
+    # duplicate input/output (main.c:82-95)
+    assert run_cli(["-c", "-i", str(f), "-i", str(f), "-o", "x"]) == 1
+    assert run_cli(["-c", "-i", str(f), "-o", "x", "-o", "y"]) == 1
+    # missing files / mode (main.c:132-139, 163-166)
+    assert run_cli(["-c", "-o", "x"]) == 1
+    assert run_cli(["-c", "-i", str(f)]) == 1
+    assert run_cli(["-i", str(f), "-o", "x"]) == 1
+
+
+def test_degenerate_sb_rejected_by_default(tmp_path):
+    f = tmp_path / "f"
+    f.write_bytes(b"hello hello hello")
+    out = str(tmp_path / "o")
+    for sb in ("0", "1", "1024", "4096"):
+        assert run_cli(["-c", "-i", str(f), "-o", out, "-s", sb]) == 1
+
+
+def test_degenerate_sb_forced_is_safe(tmp_path):
+    """--force-sb encodes power-of-two sb safely (reference corrupts)."""
+    data = b"ababab" * 200
+    inp, comp, out = tmp_path / "in", tmp_path / "comp", tmp_path / "out"
+    inp.write_bytes(data)
+    assert run_cli(["-c", "-i", str(inp), "-o", str(comp), "-s", "4",
+                    "--force-sb", "--backend", "numpy"]) == 0
+    assert run_cli(["-d", "-i", str(comp), "-o", str(out),
+                    "--backend", "numpy"]) == 0
+    assert out.read_bytes() == data
+    # sb=0 is rejected even with --force-sb (bitof(0) is UB in the format).
+    assert run_cli(["-c", "-i", str(inp), "-o", str(comp), "-s", "0",
+                    "--force-sb"]) == 1
+
+
+def test_report_flag(tmp_path, capsys, rng):
+    data = CORPUS_SMALL["text"](rng)[:800]
+    inp, comp = tmp_path / "in", tmp_path / "comp"
+    inp.write_bytes(data)
+    assert run_cli(["-c", "-i", str(inp), "-o", str(comp), "-s", "255",
+                    "--report", "--block-size", "512"]) == 0
+    err = capsys.readouterr().err
+    import json
+
+    rep = json.loads(err.strip().splitlines()[-1])
+    assert rep["mode"] == "encode"
+    assert rep["input_bytes"] == len(data)
