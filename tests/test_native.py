@@ -1,0 +1,57 @@
+"""Native host runtime tests: stream equality across backends + oracle."""
+
+import numpy as np
+import pytest
+
+from lz77_tpu import native, spec
+from lz77_tpu.models import spec_np
+
+from conftest import CORPUS_SMALL
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+@pytest.mark.parametrize("name", CORPUS_SMALL)
+def test_native_stream_identical_to_spec(name, rng):
+    """Same exact-match semantics => byte-identical streams."""
+    data = CORPUS_SMALL[name](rng)
+    p = spec.Params(la=15, sb=255)
+    assert native.encode(data, p) == spec_np.encode(data, p)
+
+
+@pytest.mark.parametrize("name", CORPUS_SMALL)
+def test_native_roundtrip(name, rng):
+    data = CORPUS_SMALL[name](rng)
+    for p in [spec.Params(), spec.Params(la=31, sb=1023)]:
+        assert native.decode(native.encode(data, p)) == data
+
+
+@pytest.mark.parametrize("name", ["text", "runs", "random"])
+def test_native_vs_oracle(name, rng, oracle):
+    data = CORPUS_SMALL[name](rng)
+    stream = native.encode(data)
+    assert oracle.decode(stream) == data
+    assert len(stream) <= len(oracle.encode(data))
+    assert native.decode(oracle.encode(data)) == data
+
+
+def test_native_speed_sanity(rng):
+    """Native encode must beat the reference's 3.78 MB/s baseline easily."""
+    import time
+
+    from conftest import make_text
+
+    data = make_text(rng, 4 << 20)
+    t0 = time.perf_counter()
+    stream = native.encode(data)
+    dt = time.perf_counter() - t0
+    assert native.decode(stream) == data
+    mbps = len(data) / dt / 1e6
+    assert mbps > 10, f"native encode too slow: {mbps:.1f} MB/s"
+
+
+def test_native_rejects_corrupt():
+    with pytest.raises(ValueError):
+        native.decode(b"\x01")
