@@ -117,40 +117,29 @@ def _batch_inputs(x: np.ndarray, n: int, g0: int, gn: int, G: int, B: int,
     return gb, gh, gr, ga, gv
 
 
-def encode_bytes(
-    data: bytes,
-    params: spec.Params | None = None,
+def iter_block_bits(
+    x: np.ndarray,
+    params: spec.Params,
     *,
     block_size: int = DEFAULT_BLOCK_SIZE,
     batch_blocks: int = DEFAULT_BATCH_BLOCKS,
     matcher: str = "brute",
-    stats: EncodeStats | None = None,
     match_fn=None,
     retries: int = 2,
     fault_injector: faults_lib.FaultInjector | None = None,
-) -> bytes:
-    """Compress ``data`` into a complete reference-format stream.
+    start_block: int = 0,
+    entry: int = 0,
+):
+    """Yield (block_index, entry, next_entry, token_count, bit_array) per block.
 
-    ``match_fn`` optionally overrides the device match phase with one
-    returning full (L, O) tables (the sharded backend plugs in here); the
-    default path uses the transfer-minimal compact pipeline.  Failed device
-    batches are retried ``retries`` times (blocks are independent up to the
-    scalar entry carry, so retry is safe and cheap — SURVEY.md §5).
+    The core encode loop: batched device match phase, host entry-carried
+    parse, device offset gather, host bit-pack.  A two-deep software pipeline
+    overlaps device matching of batch k+1 with host parsing of batch k.
+    ``start_block``/``entry`` allow resuming mid-stream (utils.manifest).
+    Failed device batches are retried ``retries`` times (blocks are
+    independent up to the scalar entry carry — SURVEY.md §5).
     """
-    params = params or spec.Params()
-    x = np.frombuffer(data, dtype=np.uint8)
     n = x.shape[0]
-    st = stats if stats is not None else EncodeStats()
-    st.input_bytes = n
-
-    if n == 0:
-        stream = bitio.build_stream(
-            np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64),
-            params,
-        )
-        st.output_bytes = len(stream)
-        return stream
-
     B = block_size
     if B % 2:
         raise ValueError("block_size must be even (nibble packing)")
@@ -159,6 +148,9 @@ def encode_bytes(
     la = params.la
     nb = -(-n // B)
     G = batch_blocks
+    first_batch = start_block // G
+    if start_block % G:
+        raise ValueError("start_block must be a multiple of batch_blocks")
     num_batches = -(-nb // G)
 
     def submit(bi: int):
@@ -175,12 +167,9 @@ def encode_bytes(
         )
         return ("compact", bi, gn, packed, O16)
 
-    entry = 0
-    bit_chunks: list[np.ndarray] = []
-    total_tokens = 0
+    state = {"entry": entry}
 
     def process(handle):
-        nonlocal entry, total_tokens
         kind, bi, gn, a1, a2 = handle
         g0 = bi * G
         if kind == "full":
@@ -189,7 +178,7 @@ def encode_bytes(
             packed_np = np.asarray(a1)  # the only bulk fetch: ~B/2 per block
         all_starts: list[np.ndarray] = []
         all_lens: list[np.ndarray] = []
-        block_of: list[int] = []
+        entries: list[tuple[int, int]] = []
         for i in range(gn):
             gs = (g0 + i) * B
             vl = min(B, n - gs)
@@ -197,23 +186,23 @@ def encode_bytes(
                 L = Lg[i]
             else:
                 L = encoder_model.unpack_lengths(packed_np[i], B, la)
-            starts, exit_pos = parse_block_np(L, vl, entry, la)
-            entry = max(0, exit_pos - B)
+            e_in = state["entry"]
+            starts, exit_pos = parse_block_np(L, vl, e_in, la)
+            state["entry"] = max(0, exit_pos - B)
+            entries.append((e_in, state["entry"]))
             all_starts.append(starts)
             all_lens.append(L[starts] if starts.shape[0] else
                             np.zeros(0, np.uint8))
-            block_of.append(i)
         counts = [s.shape[0] for s in all_starts]
-        Ttot = sum(counts)
-        if Ttot == 0:
-            return
-        if kind == "full":
+        if sum(counts) == 0:
+            off_cat = np.zeros(0, np.int64)
+        elif kind == "full":
             off_cat = np.concatenate(
-                [Og[i][all_starts[k]] for k, i in enumerate(block_of)]
+                [Og[i][all_starts[i]] for i in range(gn)]
             )
         else:
             flat = np.concatenate(
-                [i * B + s for i, s in zip(block_of, all_starts)]
+                [i * B + s for i, s in enumerate(all_starts)]
             ).astype(np.int32)
             pad = -(-flat.shape[0] // _IDX_BUCKET) * _IDX_BUCKET
             flat_p = np.zeros(pad, np.int32)
@@ -221,24 +210,23 @@ def encode_bytes(
             off_cat = np.asarray(
                 encoder_model.gather_offsets(a2, jnp.asarray(flat_p))
             )[: flat.shape[0]]
-        # Emit bits block by block (stream order).
+        results = []
         c0 = 0
-        for k, i in enumerate(block_of):
-            c = counts[k]
-            if c == 0:
-                continue
+        for i in range(gn):
+            c = counts[i]
             gs = (g0 + i) * B
-            starts = all_starts[k]
-            ln = all_lens[k].astype(np.int64)
+            starts = all_starts[i]
+            ln = all_lens[i].astype(np.int64)
             off = off_cat[c0 : c0 + c].astype(np.int64)
-            nx = x[gs + starts + ln]
-            bit_chunks.append(bitio.tokens_to_bits(off, ln, nx, params))
+            nx = x[gs + starts + ln] if c else np.zeros(0, np.uint8)
+            bits = bitio.tokens_to_bits(off, ln, nx, params)
+            e_in, e_out = entries[i]
+            results.append((g0 + i, e_in, e_out, c, bits))
             c0 += c
-        total_tokens += Ttot
+        return results
 
-    # Two-deep pipeline: device works on batch k+1 while host parses k.
     pending = None
-    for bi in range(num_batches):
+    for bi in range(first_batch, num_batches):
         if fault_injector is not None:
             def submit_checked(b=bi):
                 fault_injector.check(b)
@@ -247,16 +235,155 @@ def encode_bytes(
         else:
             nxt = faults_lib.with_retries(submit, bi, retries=retries)
         if pending is not None:
-            process(pending)
+            yield from process(pending)
         pending = nxt
     if pending is not None:
-        process(pending)
+        yield from process(pending)
+
+
+def encode_bytes(
+    data: bytes,
+    params: spec.Params | None = None,
+    *,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    batch_blocks: int = DEFAULT_BATCH_BLOCKS,
+    matcher: str = "brute",
+    stats: EncodeStats | None = None,
+    match_fn=None,
+    retries: int = 2,
+    fault_injector: faults_lib.FaultInjector | None = None,
+) -> bytes:
+    """Compress ``data`` into a complete reference-format stream."""
+    params = params or spec.Params()
+    x = np.frombuffer(data, dtype=np.uint8)
+    n = x.shape[0]
+    st = stats if stats is not None else EncodeStats()
+    st.input_bytes = n
+
+    bit_chunks: list[np.ndarray] = []
+    total_tokens = 0
+    if n > 0:
+        for _, _, _, c, bits in iter_block_bits(
+            x, params, block_size=block_size, batch_blocks=batch_blocks,
+            matcher=matcher, match_fn=match_fn, retries=retries,
+            fault_injector=fault_injector,
+        ):
+            total_tokens += c
+            if bits.shape[0]:
+                bit_chunks.append(bits)
 
     st.tokens = total_tokens
-    st.blocks = nb
+    st.blocks = -(-n // block_size)
     stream = bitio.concat_token_bits(bit_chunks, params)
     st.output_bytes = len(stream)
     return stream
+
+
+def encode_file(
+    in_path: str,
+    out_path: str,
+    params: spec.Params | None = None,
+    *,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    batch_blocks: int = DEFAULT_BATCH_BLOCKS,
+    matcher: str = "brute",
+    stats: EncodeStats | None = None,
+    manifest_path: str | None = None,
+    resume: bool = False,
+    retries: int = 2,
+    fault_injector: faults_lib.FaultInjector | None = None,
+) -> None:
+    """File-to-file encode with optional checkpoint/resume.
+
+    With ``manifest_path``, each completed block's token bits are appended
+    (byte-aligned) to ``out_path + '.partial'`` and the manifest records
+    (tokens, bit offset, entry offsets) per block — SURVEY.md §5's
+    checkpoint story.  On ``resume=True`` a compatible manifest skips every
+    completed batch and continues from the recorded parse entry.  The final
+    stream is assembled bit-contiguously, then scratch files are removed.
+    """
+    import os
+
+    from ..utils import manifest as manifest_lib
+
+    params = params or spec.Params()
+    with open(in_path, "rb") as f:
+        data = f.read()
+    x = np.frombuffer(data, dtype=np.uint8)
+    n = x.shape[0]
+    st = stats if stats is not None else EncodeStats()
+    st.input_bytes = n
+
+    if manifest_path is None:
+        stream = encode_bytes(
+            data, params, block_size=block_size, batch_blocks=batch_blocks,
+            matcher=matcher, stats=st, retries=retries,
+            fault_injector=fault_injector,
+        )
+        with open(out_path, "wb") as f:
+            f.write(stream)
+        return
+
+    scratch_path = out_path + ".partial"
+    man = None
+    if resume and os.path.exists(manifest_path):
+        try:
+            cand = manifest_lib.Manifest.load(manifest_path)
+            if cand.compatible_with(params, block_size, n):
+                man = cand
+        except Exception:
+            man = None
+    if man is None:
+        man = manifest_lib.Manifest(
+            la=params.la, sb=params.sb, block_size=block_size, input_bytes=n
+        )
+        open(scratch_path, "wb").close()
+
+    # Resume can only restart at a batch boundary: drop trailing records
+    # past the last full batch and truncate scratch accordingly.
+    done = man.completed()
+    done -= done % batch_blocks
+    man.blocks = man.blocks[:done]
+    scratch_bytes = sum((b.tokens * man.width + 7) // 8 for b in man.blocks)
+    with open(scratch_path, "ab") as f:
+        f.truncate(scratch_bytes)
+
+    entry = man.next_entry()
+    total_tokens = sum(b.tokens for b in man.blocks)
+    if n > 0:
+        with open(scratch_path, "ab") as scratch:
+            for bidx, e_in, e_out, c, bits in iter_block_bits(
+                x, params, block_size=block_size, batch_blocks=batch_blocks,
+                matcher=matcher, retries=retries,
+                fault_injector=fault_injector,
+                start_block=done, entry=entry,
+            ):
+                scratch.write(np.packbits(bits, bitorder="little").tobytes())
+                man.append(c, e_in, e_out)
+                total_tokens += c
+                if (bidx + 1) % batch_blocks == 0:
+                    scratch.flush()
+                    man.save(manifest_path)
+
+    # Final assembly: bit-contiguous merge of the byte-aligned chunks.
+    chunks = []
+    with open(scratch_path, "rb") as f:
+        for rec in man.blocks:
+            nbytes = (rec.tokens * man.width + 7) // 8
+            raw = np.frombuffer(f.read(nbytes), np.uint8)
+            chunks.append(
+                np.unpackbits(raw, bitorder="little")[: rec.tokens * man.width]
+            )
+    stream = bitio.concat_token_bits(chunks, params)
+    with open(out_path, "wb") as f:
+        f.write(stream)
+    os.unlink(scratch_path)
+    if os.path.exists(manifest_path):
+        os.unlink(manifest_path)
+
+    st.tokens = total_tokens
+    st.blocks = -(-n // block_size)
+    st.output_bytes = len(stream)
 
 
 def decode_bytes(data: bytes, backend: str = "host") -> bytes:

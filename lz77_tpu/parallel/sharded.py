@@ -136,6 +136,10 @@ def make_sharded_pipeline_step(
             key = match_ops.combine_key(L, O, dlim)
             key = lax.pmax(key, mesh_lib.WIN_AXIS)
             L, O = match_ops.split_key(key, dlim)
+            # Block-aligned mode: every token must end inside its block
+            # (entry is always 0), so clamp lengths at the block boundary.
+            pos = jnp.arange(B, dtype=jnp.int32)
+            L = jnp.maximum(jnp.minimum(L, B - pos - 1), 0)
             vl = jnp.minimum(valid_ext, B)
             starts, count, _ = parse_ops.greedy_parse(L, vl, 0, la=la)
             block_ext = jnp.concatenate([block, rightx])

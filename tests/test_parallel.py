@@ -1,0 +1,91 @@
+"""Mesh/shard_map tests on the virtual 8-device CPU mesh (SURVEY.md §4e)."""
+
+import jax
+import numpy as np
+import pytest
+
+from lz77_tpu import spec
+from lz77_tpu.models import codec
+from lz77_tpu.parallel import distributed, mesh as mesh_lib, sharded
+
+from conftest import CORPUS_SMALL, make_text
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_mesh_shapes():
+    m = mesh_lib.make_mesh()
+    assert m.shape[mesh_lib.DATA_AXIS] == 8
+    m2 = mesh_lib.make_mesh(n_data=4, n_win=2)
+    assert m2.shape == {"data": 4, "win": 2}
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(n_data=16, n_win=2)
+
+
+@pytest.mark.parametrize("n_data,n_win", [(8, 1), (4, 2)])
+def test_sharded_match_identical_streams(n_data, n_win, rng):
+    """Sharded match phase must emit the exact same stream as single-device."""
+    data = make_text(rng, 40_000)
+    p = spec.Params(la=15, sb=255)
+    m = mesh_lib.make_mesh(n_data=n_data, n_win=n_win)
+    mf = sharded.sharded_match_fn(m, p, matcher="brute")
+    s_sharded = codec.encode_bytes(
+        data, p, block_size=2048, batch_blocks=8, match_fn=mf
+    )
+    s_single = codec.encode_bytes(data, p, block_size=2048, batch_blocks=8)
+    assert s_sharded == s_single
+    assert codec.decode_bytes(s_sharded) == data
+
+
+def test_sharded_pipeline_step_valid_stream(rng):
+    """Fully fused device pipeline (entry=0) produces a decodable stream."""
+    from lz77_tpu import bitio
+
+    data = make_text(rng, 8 * 512)
+    p = spec.Params(la=15, sb=255)
+    m = mesh_lib.make_mesh(n_data=8, n_win=1)
+    step = sharded.make_sharded_pipeline_step(m, p)
+    B, G = 512, 8
+    x = np.frombuffer(data, np.uint8)
+    blocks = x.reshape(G, B)
+    H, R = p.d_limit, p.len_limit
+    halos = np.zeros((G, H), np.uint8)
+    rights = np.zeros((G, R), np.uint8)
+    for b in range(1, G):
+        halos[b] = x[b * B - H : b * B]
+        rights[b - 1] = x[b * B : b * B + R]
+    import jax.numpy as jnp
+
+    off, ln, nxt, counts = step(
+        jnp.asarray(blocks), jnp.asarray(halos), jnp.asarray(rights),
+        jnp.asarray(np.array([0] + [H] * (G - 1), np.int32)),
+        jnp.asarray(np.array([B + R] * (G - 1) + [B], np.int32)),
+    )
+    off, ln, nxt = np.asarray(off), np.asarray(ln), np.asarray(nxt)
+    counts = np.asarray(counts)
+    chunks = [
+        __import__("lz77_tpu.bitio", fromlist=["x"]).tokens_to_bits(
+            off[i, : counts[i]], ln[i, : counts[i]], nxt[i, : counts[i]], p
+        )
+        for i in range(G)
+    ]
+    stream = bitio.concat_token_bits(chunks, p)
+    assert codec.decode_bytes(stream) == data
+
+
+def test_distributed_partitioning():
+    assert distributed.block_range(10, 3, 0) == (0, 4)
+    assert distributed.block_range(10, 3, 1) == (4, 7)
+    assert distributed.block_range(10, 3, 2) == (7, 10)
+    counts = np.array([5, 3, 7])
+    offs = distributed.global_bit_offsets(counts, 24)
+    np.testing.assert_array_equal(offs, [32, 32 + 120, 32 + 192])
+
+
+def test_distributed_single_process_encode(rng):
+    data = CORPUS_SMALL["text"](rng)
+    p = spec.Params(la=15, sb=255)
+    s = distributed.encode_bytes_multihost(data, p, block_size=1024)
+    assert codec.decode_bytes(s) == data
