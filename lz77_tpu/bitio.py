@@ -28,10 +28,52 @@ def _field_bits(values: np.ndarray, nbits: int) -> np.ndarray:
 def _bits_to_uint(bits: np.ndarray) -> np.ndarray:
     """(T, nbits) uint8 LSB-first bits -> (T,) int64 values."""
     nbits = bits.shape[-1]
-    if nbits == 0:
-        return np.zeros(bits.shape[:-1], dtype=np.int64)
-    weights = (np.int64(1) << np.arange(nbits, dtype=np.int64))
-    return bits.astype(np.int64) @ weights
+    out = np.zeros(bits.shape[:-1], dtype=np.int64)
+    for j in range(nbits):
+        out |= bits[..., j].astype(np.int64) << j
+    return out
+
+
+def tokens_to_bytes(
+    off: np.ndarray, length: np.ndarray, nxt: np.ndarray, params: spec.Params
+) -> np.ndarray:
+    """Byte-aligned fast path: token arrays -> packed payload bytes.
+
+    Valid only when the token width is a byte multiple (e.g. the default
+    12+4+8 = 24 bits): each token occupies exactly width/8 bytes, so the
+    whole payload is a (T, width/8) byte matrix built with a few shifts.
+    """
+    W = params.width
+    assert W % 8 == 0 and W <= 64
+    bo, bl = params.off_bits, params.len_bits
+    v = (
+        off.astype(np.int64)
+        | (length.astype(np.int64) << bo)
+        | (nxt.astype(np.int64) << (bo + bl))
+    )
+    nbytes = W // 8
+    out = np.empty((off.shape[0], nbytes), np.uint8)
+    for k in range(nbytes):
+        out[:, k] = (v >> (8 * k)) & 0xFF
+    return out.reshape(-1)
+
+
+def bytes_to_tokens(
+    payload: np.ndarray, T: int, params: spec.Params
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Byte-aligned fast path inverse of :func:`tokens_to_bytes`."""
+    W = params.width
+    assert W % 8 == 0 and W <= 64
+    nbytes = W // 8
+    bo, bl = params.off_bits, params.len_bits
+    mat = payload[: T * nbytes].reshape(T, nbytes)
+    v = np.zeros(T, np.int64)
+    for k in range(nbytes):
+        v |= mat[:, k].astype(np.int64) << (8 * k)
+    off = v & ((1 << bo) - 1)
+    length = (v >> bo) & ((1 << bl) - 1)
+    nxt = (v >> (bo + bl)) & 0xFF
+    return off, length, nxt
 
 
 def scalar_bits(value: int, nbits: int) -> np.ndarray:
@@ -96,6 +138,36 @@ def build_stream(
     return np.packbits(all_bits, bitorder="little").tobytes()
 
 
+def byte_aligned(params: spec.Params) -> bool:
+    """True when tokens pack to whole bytes (default 24-bit tokens do)."""
+    return params.width % 8 == 0
+
+
+def tokens_to_chunk(
+    off: np.ndarray, length: np.ndarray, nxt: np.ndarray, params: spec.Params
+) -> np.ndarray:
+    """Per-block payload chunk: packed bytes when byte-aligned, else bits."""
+    if byte_aligned(params):
+        return tokens_to_bytes(off, length, nxt, params)
+    return tokens_to_bits(off, length, nxt, params)
+
+
+def assemble_stream(chunks: list[np.ndarray], params: spec.Params) -> bytes:
+    """Header + concatenated per-block payload chunks -> stream bytes."""
+    if byte_aligned(params):
+        header = np.packbits(
+            np.concatenate(
+                [
+                    scalar_bits(params.sb, spec.HEADER_FIELD_BITS),
+                    scalar_bits(params.la, spec.HEADER_FIELD_BITS),
+                ]
+            ),
+            bitorder="little",
+        ).tobytes()
+        return header + b"".join(c.tobytes() for c in chunks)
+    return concat_token_bits(chunks, params)
+
+
 def concat_token_bits(bit_chunks: list[np.ndarray], params: spec.Params) -> bytes:
     """Header + concatenation of per-block token bit arrays -> stream bytes.
 
@@ -132,6 +204,9 @@ def parse_stream(
     params = spec.Params(la=la, sb=sb)
     payload = raw[spec.HEADER_BYTES :]
     T = spec.token_count(payload.shape[0], params.width)
+    if byte_aligned(params):
+        off, length, nxt = bytes_to_tokens(payload, T, params)
+        return params, off, length, nxt
     # Only unpack the bytes that contain whole tokens.
     needed_bytes = (T * params.width + 7) // 8
     bits = np.unpackbits(payload[:needed_bytes], bitorder="little")[

@@ -219,9 +219,9 @@ def iter_block_bits(
             ln = all_lens[i].astype(np.int64)
             off = off_cat[c0 : c0 + c].astype(np.int64)
             nx = x[gs + starts + ln] if c else np.zeros(0, np.uint8)
-            bits = bitio.tokens_to_bits(off, ln, nx, params)
+            chunk = bitio.tokens_to_chunk(off, ln, nx, params)
             e_in, e_out = entries[i]
-            results.append((g0 + i, e_in, e_out, c, bits))
+            results.append((g0 + i, e_in, e_out, c, chunk))
             c0 += c
         return results
 
@@ -260,21 +260,21 @@ def encode_bytes(
     st = stats if stats is not None else EncodeStats()
     st.input_bytes = n
 
-    bit_chunks: list[np.ndarray] = []
+    chunks: list[np.ndarray] = []
     total_tokens = 0
     if n > 0:
-        for _, _, _, c, bits in iter_block_bits(
+        for _, _, _, c, chunk in iter_block_bits(
             x, params, block_size=block_size, batch_blocks=batch_blocks,
             matcher=matcher, match_fn=match_fn, retries=retries,
             fault_injector=fault_injector,
         ):
             total_tokens += c
-            if bits.shape[0]:
-                bit_chunks.append(bits)
+            if chunk.shape[0]:
+                chunks.append(chunk)
 
     st.tokens = total_tokens
     st.blocks = -(-n // block_size)
-    stream = bitio.concat_token_bits(bit_chunks, params)
+    stream = bitio.assemble_stream(chunks, params)
     st.output_bytes = len(stream)
     return stream
 
@@ -351,14 +351,20 @@ def encode_file(
     entry = man.next_entry()
     total_tokens = sum(b.tokens for b in man.blocks)
     if n > 0:
+        aligned = bitio.byte_aligned(params)
         with open(scratch_path, "ab") as scratch:
-            for bidx, e_in, e_out, c, bits in iter_block_bits(
+            for bidx, e_in, e_out, c, chunk in iter_block_bits(
                 x, params, block_size=block_size, batch_blocks=batch_blocks,
                 matcher=matcher, retries=retries,
                 fault_injector=fault_injector,
                 start_block=done, entry=entry,
             ):
-                scratch.write(np.packbits(bits, bitorder="little").tobytes())
+                if aligned:
+                    scratch.write(chunk.tobytes())
+                else:
+                    scratch.write(
+                        np.packbits(chunk, bitorder="little").tobytes()
+                    )
                 man.append(c, e_in, e_out)
                 total_tokens += c
                 if (bidx + 1) % batch_blocks == 0:
@@ -367,14 +373,20 @@ def encode_file(
 
     # Final assembly: bit-contiguous merge of the byte-aligned chunks.
     chunks = []
+    aligned = bitio.byte_aligned(params)
     with open(scratch_path, "rb") as f:
         for rec in man.blocks:
             nbytes = (rec.tokens * man.width + 7) // 8
             raw = np.frombuffer(f.read(nbytes), np.uint8)
-            chunks.append(
-                np.unpackbits(raw, bitorder="little")[: rec.tokens * man.width]
-            )
-    stream = bitio.concat_token_bits(chunks, params)
+            if aligned:
+                chunks.append(raw)
+            else:
+                chunks.append(
+                    np.unpackbits(raw, bitorder="little")[
+                        : rec.tokens * man.width
+                    ]
+                )
+    stream = bitio.assemble_stream(chunks, params)
     with open(out_path, "wb") as f:
         f.write(stream)
     os.unlink(scratch_path)
