@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import bitio, spec
+from .. import native as native_lib
 from ..utils import faults as faults_lib
 from ..utils import metrics as metrics_lib
 from . import decoder as decoder_model
@@ -42,6 +43,7 @@ from . import encoder as encoder_model
 DEFAULT_BLOCK_SIZE = 1 << 16
 DEFAULT_BATCH_BLOCKS = 8
 _IDX_BUCKET = 1 << 14
+_NATIVE = native_lib.available()
 
 
 @dataclasses.dataclass
@@ -187,7 +189,10 @@ def iter_block_bits(
             else:
                 L = encoder_model.unpack_lengths(packed_np[i], B, la)
             e_in = state["entry"]
-            starts, exit_pos = parse_block_np(L, vl, e_in, la)
+            if _NATIVE:
+                starts, exit_pos = native_lib.parse_block(L, vl, e_in)
+            else:
+                starts, exit_pos = parse_block_np(L, vl, e_in, la)
             state["entry"] = max(0, exit_pos - B)
             entries.append((e_in, state["entry"]))
             all_starts.append(starts)
@@ -219,7 +224,10 @@ def iter_block_bits(
             ln = all_lens[i].astype(np.int64)
             off = off_cat[c0 : c0 + c].astype(np.int64)
             nx = x[gs + starts + ln] if c else np.zeros(0, np.uint8)
-            chunk = bitio.tokens_to_chunk(off, ln, nx, params)
+            if _NATIVE and bitio.byte_aligned(params):
+                chunk, _bits = native_lib.pack_tokens(off, ln, nx, params)
+            else:
+                chunk = bitio.tokens_to_chunk(off, ln, nx, params)
             e_in, e_out = entries[i]
             results.append((g0 + i, e_in, e_out, c, chunk))
             c0 += c
@@ -398,14 +406,19 @@ def encode_file(
     st.output_bytes = len(stream)
 
 
-def decode_bytes(data: bytes, backend: str = "host") -> bytes:
+def decode_bytes(data: bytes, backend: str = "auto") -> bytes:
     """Decompress a complete reference-format stream.
 
-    ``backend='host'`` (default) runs the vectorized numpy pointer-doubling
-    decode — decode is zero-arithmetic gather work where 1-D dynamic gathers
-    are a slow path on TPU; ``backend='device'`` uses the chunked device
-    decoder (for device-resident pipelines).
+    Decode is zero-arithmetic pointer-chasing: 1-D dynamic gathers are a
+    slow path on TPU vector units, so the default is the native serial C
+    decoder (``backend='native'``), falling back to the vectorized numpy
+    pointer-doubling decode (``backend='host'``).  ``backend='device'`` uses
+    the chunked device decoder (for device-resident pipelines).
     """
+    if backend == "auto":
+        backend = "native" if _NATIVE else "host"
+    if backend == "native":
+        return native_lib.decode(data)
     if backend == "host":
         from . import host_decode
 

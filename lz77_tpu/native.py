@@ -57,6 +57,19 @@ def load():
             ],
             "lz77_decode_bound": [ctypes.c_void_p, ctypes.c_int64],
             "lz77_encode_bound": [ctypes.c_int64, ctypes.c_int, ctypes.c_int],
+            "lz77_parse_block": [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ],
+            "lz77_pack_tokens": [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64,
+            ],
+            "lz77_unpack_tokens": [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ],
         }.items():
             fn = getattr(lib, name)
             fn.argtypes = argtypes
@@ -88,6 +101,61 @@ def encode(data: bytes, params: spec.Params | None = None) -> bytes:
     if size < 0:
         raise RuntimeError(f"native encode failed: {size}")
     return out[:size].tobytes()
+
+
+def parse_block(
+    L: np.ndarray, valid: int, entry: int
+) -> tuple[np.ndarray, int]:
+    """Serial greedy-parse walk in C: (token starts, exit position)."""
+    lib = load()
+    Lc = np.ascontiguousarray(L, dtype=np.uint8)
+    starts = np.empty(max(valid, 1), np.int32)
+    exit_pos = ctypes.c_int64(0)
+    c = lib.lz77_parse_block(
+        Lc.ctypes.data, valid, entry, starts.ctypes.data,
+        ctypes.byref(exit_pos),
+    )
+    return starts[:c], int(exit_pos.value)
+
+
+def pack_tokens(
+    off: np.ndarray, length: np.ndarray, nxt: np.ndarray, params: spec.Params
+) -> tuple[np.ndarray, int]:
+    """Pack tokens to payload bytes in C: (bytes, payload_bits)."""
+    lib = load()
+    T = off.shape[0]
+    offc = np.ascontiguousarray(off, dtype=np.int32)
+    lenc = np.ascontiguousarray(length, dtype=np.uint8)
+    nxtc = np.ascontiguousarray(nxt, dtype=np.uint8)
+    cap = (T * params.width + 7) // 8 + 8
+    out = np.empty(cap, np.uint8)
+    bits = lib.lz77_pack_tokens(
+        offc.ctypes.data, lenc.ctypes.data, nxtc.ctypes.data, T,
+        params.la, params.sb, out.ctypes.data, cap,
+    )
+    if bits < 0:
+        raise RuntimeError(f"native pack failed: {bits}")
+    return out[: (bits + 7) // 8], int(bits)
+
+
+def unpack_tokens(
+    payload: np.ndarray, params: spec.Params
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Unpack all whole tokens from payload bytes in C."""
+    lib = load()
+    nbytes = payload.shape[0]
+    tmax = spec.token_count(nbytes, params.width) + 1
+    off = np.empty(tmax, np.int32)
+    length = np.empty(tmax, np.uint8)
+    nxt = np.empty(tmax, np.uint8)
+    pc = np.ascontiguousarray(payload, dtype=np.uint8)
+    c = lib.lz77_unpack_tokens(
+        pc.ctypes.data, nbytes, params.la, params.sb,
+        off.ctypes.data, length.ctypes.data, nxt.ctypes.data,
+    )
+    if c < 0:
+        raise RuntimeError(f"native unpack failed: {c}")
+    return off[:c], length[:c], nxt[:c]
 
 
 def decode(stream: bytes) -> bytes:

@@ -220,4 +220,68 @@ int64_t lz77_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
   return w;
 }
 
+// Greedy-parse walk over a block's match-length table (device-produced).
+// L[p] is the capped longest-match length at block position p; the walk
+// starts at `entry` and stops at `valid`.  Writes token start positions to
+// `starts_out` (capacity >= valid), stores the exit position (>= valid) in
+// *exit_pos, returns the token count.  This is the host half of the
+// encode pipeline: O(T) with ~ns per token, pairing with the O(n*sb)
+// device match phase (SURVEY.md §7 insight 2).
+int64_t lz77_parse_block(const uint8_t* L, int64_t valid, int64_t entry,
+                         int32_t* starts_out, int64_t* exit_pos) {
+  int64_t p = entry;
+  int64_t c = 0;
+  while (p < valid) {
+    starts_out[c++] = static_cast<int32_t>(p);
+    p += static_cast<int64_t>(L[p]) + 1;
+  }
+  *exit_pos = p;
+  return c;
+}
+
+// Pack T tokens into stream payload bytes (no header).  Returns the number
+// of PAYLOAD BITS written; bytes written = ceil(bits/8) with the final
+// partial byte zero-padded only if `flush_partial` (block payloads are
+// bit-contiguous, so intermediate blocks of non-byte-aligned widths must be
+// merged by the caller; for byte-aligned widths bytes are exact).
+int64_t lz77_pack_tokens(const int32_t* off, const uint8_t* len,
+                         const uint8_t* next, int64_t T, int la, int sb,
+                         uint8_t* out, int64_t cap) {
+  if (la < 2 || la > 255 || sb < 1 || sb > 65535) return -1;
+  const int off_bits = bitof(sb);
+  const int len_bits = bitof(la);
+  const int64_t width = off_bits + len_bits + 8;
+  if ((T * width + 7) / 8 > cap) return -2;
+  std::vector<uint8_t> buf;
+  buf.reserve(static_cast<size_t>((T * width + 7) / 8));
+  BitWriter bw(buf);
+  for (int64_t i = 0; i < T; ++i) {
+    bw.put(static_cast<uint32_t>(off[i]), off_bits);
+    bw.put(len[i], len_bits);
+    bw.put(next[i], 8);
+  }
+  bw.close();
+  std::memcpy(out, buf.data(), buf.size());
+  return T * width;
+}
+
+// Unpack all whole tokens from a payload (no header).  Returns token count.
+int64_t lz77_unpack_tokens(const uint8_t* payload, int64_t nbytes, int la,
+                           int sb, int32_t* off, uint8_t* len,
+                           uint8_t* next) {
+  if (la < 2 || la > 255 || sb < 1 || sb > 65535) return -1;
+  const int off_bits = bitof(sb);
+  const int len_bits = bitof(la);
+  BitReader br(payload, nbytes);
+  int64_t c = 0;
+  uint32_t o, l, nx;
+  while (br.get(off_bits, &o) && br.get(len_bits, &l) && br.get(8, &nx)) {
+    off[c] = static_cast<int32_t>(o);
+    len[c] = static_cast<uint8_t>(l);
+    next[c] = static_cast<uint8_t>(nx);
+    ++c;
+  }
+  return c;
+}
+
 }  // extern "C"
