@@ -45,8 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Encoder block size in bytes (device parallel unit)")
     p.add_argument("--batch-blocks", type=int, default=None,
                    help="Blocks encoded per device batch")
-    p.add_argument("--matcher", choices=("sorted", "brute"), default="sorted",
-                   help="Match-finder backend")
+    p.add_argument("--matcher",
+                   choices=("brute", "chunked", "sorted", "pallas"),
+                   default="chunked",
+                   help="Match-finder backend (all exact, same streams)")
+    p.add_argument("--manifest", default=None,
+                   help="Checkpoint manifest path (enables resumable encode)")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume a previous encode from --manifest")
     p.add_argument("--backend", choices=("jax", "native", "numpy"),
                    default="jax", help="Execution backend")
     p.add_argument("--force-sb", action="store_true",
@@ -108,6 +114,29 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     t0 = time.perf_counter()
+    if args.mode == "encode" and args.manifest and args.backend == "jax":
+        from .models import codec
+
+        stats = codec.EncodeStats()
+        kwargs = {}
+        if args.block_size:
+            kwargs["block_size"] = args.block_size
+        if args.batch_blocks:
+            kwargs["batch_blocks"] = args.batch_blocks
+        codec.encode_file(
+            args.input[0], args.output[0], params, matcher=args.matcher,
+            stats=stats, manifest_path=args.manifest, resume=args.resume,
+            **kwargs,
+        )
+        if args.report:
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "mode": "encode", "backend": "jax", "resumable": True,
+                "seconds": round(dt, 6), "input_bytes": stats.input_bytes,
+                "output_bytes": stats.output_bytes, "tokens": stats.tokens,
+                "blocks": stats.blocks, "ratio": round(stats.ratio, 6),
+            }), file=sys.stderr)
+        return 0
     if args.mode == "encode":
         result, report = _encode(data, params, args)
     else:

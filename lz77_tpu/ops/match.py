@@ -182,6 +182,96 @@ def find_matches_sorted(
     return L, O
 
 
+def find_matches_chunked(
+    block: jnp.ndarray,
+    halo: jnp.ndarray,
+    right: jnp.ndarray,
+    avail: jnp.ndarray,
+    valid_ext: jnp.ndarray,
+    *,
+    la: int,
+    sb: int,
+    chunk: int = 128,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """True longest match per position, distance-chunked for the VPU.
+
+    Same contract as :func:`find_matches_brute`, reorganized for TPU
+    efficiency: distances are processed in chunks of 128.  Per chunk, ONE
+    unaligned dynamic slice of the byte buffer yields a vector from which
+    all 128 shifted candidate rows are *statically* sliced — so the hot loop
+    is 32 iterations of large regular (128, B) elementwise tensors instead
+    of 4095 iterations of per-distance unaligned slices.  Match lengths come
+    from run-length doubling along the position axis (log2(la) static
+    shifts), and the best (length, smallest distance) is kept via an
+    order-preserving scalar key and a row max-reduce.
+    """
+    B = block.shape[0]
+    depth = spec.len_limit(la)
+    dlim = spec.d_limit(sb)
+    pos = jnp.arange(B, dtype=jnp.int32)
+    cap = jnp.minimum(depth, valid_ext - pos - 1)
+
+    if dlim == 0 or depth == 0:
+        z = jnp.zeros((B,), jnp.int32)
+        return z, z
+
+    H = halo.shape[0]
+    if H != dlim:
+        raise ValueError(
+            f"chunked matcher requires halo size == d_limit ({dlim}), got {H}"
+        )
+    # Byte buffer in int8 lanes; pad left so chunk slices never underflow.
+    buf = jnp.concatenate([jnp.zeros((chunk,), jnp.uint8), halo, block, right])
+    NB = buf.shape[0]
+    x = block
+    n_chunks = -(-dlim // chunk)
+
+    # Run-length doubling needs eq at p + 1, 2, 4, 8; extend by `ext`.
+    ext = 1
+    while ext < depth:
+        ext <<= 1
+    # x extended to B + ext (zeros past the end; cap clamps correctness).
+    x_ext = jnp.concatenate([x, jnp.zeros((ext,), jnp.uint8)])
+    pad_buf = jnp.concatenate([buf, jnp.zeros((ext,), jnp.uint8)])
+
+    key0 = jnp.zeros((B,), jnp.int32)
+    kmul = dlim + 2
+
+    def body(dc, best):
+        # z[t] = buf[chunk + H + t - (dc*chunk + chunk - 1)] for t in
+        # [0, B + ext + chunk): row r then selects d = dc*chunk + r + 1.
+        start = chunk + H - (dc + 1) * chunk
+        z = lax.dynamic_slice(pad_buf, (start,), (B + ext + chunk,))
+        # S[r, p] = x[p - (dc*chunk + r + 1)]: static shifts of z.
+        S = jnp.stack(
+            [
+                lax.dynamic_slice(z, (chunk - 1 - r,), (B + ext,))
+                for r in range(chunk)
+            ]
+        )  # (chunk, B + ext)
+        rl_dtype = jnp.int8 if depth <= 63 else jnp.int16
+        eq = (S == x_ext[None, :]).astype(rl_dtype)  # (chunk, B+ext)
+        # Capped run length via doubling: rl[p] = min(run, 2m) per step.
+        rl = eq
+        m = 1
+        while m < depth:
+            shifted = jnp.concatenate(
+                [rl[:, m:], jnp.zeros((chunk, m), rl_dtype)], axis=1
+            )
+            rl = rl + jnp.where(rl == m, shifted, 0)
+            m <<= 1
+        runs = jnp.minimum(rl[:, :B].astype(jnp.int32), cap[None, :])
+        d = dc * chunk + jnp.arange(1, chunk + 1, dtype=jnp.int32)[:, None]
+        ok = (d <= dlim) & (d <= (pos + avail)[None, :]) & (runs > 0)
+        key = jnp.where(ok, runs * kmul + (dlim + 1 - d), 0)
+        return jnp.maximum(best, key.max(axis=0))
+
+    best = lax.fori_loop(0, n_chunks, body, key0)
+    L = best // kmul
+    O = jnp.where(L > 0, (dlim + 1) - best % kmul, 0)
+    return L, O
+
+
 def find_matches_brute_range(
     block: jnp.ndarray,
     halo: jnp.ndarray,
@@ -248,13 +338,19 @@ def split_key(key: jnp.ndarray, dlim: int) -> tuple[jnp.ndarray, jnp.ndarray]:
 MATCHERS = {
     "brute": find_matches_brute,
     "sorted": find_matches_sorted,
+    "chunked": find_matches_chunked,
 }
 
 
 def get_matcher(name: str):
+    if name == "pallas":
+        from . import pallas_match  # deferred: pulls in pallas machinery
+
+        return pallas_match.find_matches_pallas
     try:
         return MATCHERS[name]
     except KeyError:
         raise ValueError(
-            f"unknown matcher {name!r}; available: {sorted(MATCHERS)}"
+            f"unknown matcher {name!r}; available: "
+            f"{sorted(MATCHERS) + ['pallas']}"
         ) from None
