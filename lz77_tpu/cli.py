@@ -137,10 +137,16 @@ def main(argv: list[str] | None = None) -> int:
                 "blocks": stats.blocks, "ratio": round(stats.ratio, 6),
             }), file=sys.stderr)
         return 0
-    if args.mode == "encode":
-        result, report = _encode(data, params, args)
-    else:
-        result, report = _decode(data, args)
+    try:
+        if args.mode == "encode":
+            result, report = _encode(data, params, args)
+        else:
+            result, report = _decode(data, args)
+    except (ValueError, RuntimeError) as e:
+        # Corrupt/truncated stream or invalid parameters: clean diagnostic,
+        # nonzero exit (the reference perror+exits here, lz77.c:273-277).
+        print(f"Error reading bits: {e}", file=sys.stderr)
+        return 1
     dt = time.perf_counter() - t0
 
     try:

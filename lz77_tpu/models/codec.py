@@ -125,7 +125,7 @@ def iter_block_bits(
     *,
     block_size: int = DEFAULT_BLOCK_SIZE,
     batch_blocks: int = DEFAULT_BATCH_BLOCKS,
-    matcher: str = "brute",
+    matcher: str = "chunked",
     match_fn=None,
     retries: int = 2,
     fault_injector: faults_lib.FaultInjector | None = None,
@@ -255,7 +255,7 @@ def encode_bytes(
     *,
     block_size: int = DEFAULT_BLOCK_SIZE,
     batch_blocks: int = DEFAULT_BATCH_BLOCKS,
-    matcher: str = "brute",
+    matcher: str = "chunked",
     stats: EncodeStats | None = None,
     match_fn=None,
     retries: int = 2,
@@ -294,7 +294,7 @@ def encode_file(
     *,
     block_size: int = DEFAULT_BLOCK_SIZE,
     batch_blocks: int = DEFAULT_BATCH_BLOCKS,
-    matcher: str = "brute",
+    matcher: str = "chunked",
     stats: EncodeStats | None = None,
     manifest_path: str | None = None,
     resume: bool = False,

@@ -53,7 +53,7 @@ def match_blocks_compact(
     *,
     la: int,
     sb: int,
-    matcher: str = "brute",
+    matcher: str = "chunked",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Match phase with transfer-minimal outputs.
 

@@ -230,8 +230,12 @@ def find_matches_chunked(
     ext = 1
     while ext < depth:
         ext <<= 1
-    # x extended to B + ext (zeros past the end; cap clamps correctness).
-    x_ext = jnp.concatenate([x, jnp.zeros((ext,), jnp.uint8)])
+    # Lookahead extension past the block uses the REAL following bytes
+    # (right), zeros only beyond; cap clamps validity at valid_ext.
+    xr = jnp.concatenate([x, right])
+    x_ext = jnp.concatenate(
+        [xr, jnp.zeros((max(0, B + ext - xr.shape[0]),), jnp.uint8)]
+    )[: B + ext]
     pad_buf = jnp.concatenate([buf, jnp.zeros((ext,), jnp.uint8)])
 
     key0 = jnp.zeros((B,), jnp.int32)

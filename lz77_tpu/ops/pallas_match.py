@@ -93,7 +93,8 @@ def _kernel(
         # tile's first position p: one aligned row slice.
         W = buf_ref[pl.ds(R0 - dc - 1, TR + 2), :]
 
-        def r_body(r, best):
+        best = best_ref[...]
+        for r in range(LANES):  # static unroll: every shift is a static roll
             d = dc * LANES + r + 1
             # S[p] = byte at p - d  ==  W shifted forward by (127 - r).
             S = _flat_shift_fwd(W, LANES - 1 - r)[: TR + 1, :]
@@ -106,9 +107,8 @@ def _kernel(
             runs = jnp.minimum(rl, cap)
             ok = (runs > 0) & (d <= dlim) & (d <= pos + avail)
             key = jnp.where(ok, runs * kmul + (dlim + 1 - d), 0)
-            return jnp.maximum(best, key)
-
-        best_ref[...] = lax.fori_loop(0, LANES, r_body, best_ref[...])
+            best = jnp.maximum(best, key)
+        best_ref[...] = best
         return 0
 
     lax.fori_loop(0, n_chunks, chunk_body, 0)
