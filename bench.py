@@ -30,7 +30,7 @@ import numpy as np
 BASELINE_ENCODE_TEXT = 3.78  # MB/s, BASELINE.md (reference, 1 CPU core)
 BASELINE_DECODE_TEXT = 10.15
 BASELINE_ENCODE_RUNS = 0.08
-TPU_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_TPU_TIMEOUT", "420"))
+TPU_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_TPU_TIMEOUT", "540"))
 
 
 def make_text(n: int) -> bytes:
@@ -109,7 +109,15 @@ def measure_native(size_mb: int) -> dict | None:
     return r
 
 
-def emit(r: dict, size_mb: int) -> None:
+def emit(r: dict, size_mb: int, tpu=None, native=None) -> None:
+    def sub(d):
+        if d is None:
+            return None
+        return {"encode_mb_s": round(d["enc_mb_s"], 3),
+                "decode_mb_s": round(d["dec_mb_s"], 3),
+                "encode_runs_mb_s": round(d["runs_mb_s"], 3),
+                "device": d["device"]}
+
     print(json.dumps({
         "metric": "encode_text_mb_s",
         "value": round(r["enc_mb_s"], 3),
@@ -122,6 +130,8 @@ def emit(r: dict, size_mb: int) -> None:
         "ratio": round(r["ratio"], 4),
         "input_mb": size_mb,
         "device": r["device"],
+        "tpu_path": sub(tpu),
+        "native_path": sub(native),
     }))
 
 
@@ -135,8 +145,8 @@ def main() -> int:
         print("CHILD_RESULT " + json.dumps(r))
         return 0
 
-    backend = os.environ.get("BENCH_BACKEND", "jax")
-    if backend == "jax":
+    tpu = None
+    if os.environ.get("BENCH_BACKEND", "jax") == "jax":
         env = dict(os.environ, BENCH_TPU_CHILD="1")
         try:
             proc = subprocess.run(
@@ -146,17 +156,20 @@ def main() -> int:
             )
             for line in proc.stdout.splitlines():
                 if line.startswith("CHILD_RESULT "):
-                    emit(json.loads(line[len("CHILD_RESULT "):]), size_mb)
-                    return 0
+                    tpu = json.loads(line[len("CHILD_RESULT "):])
         except subprocess.TimeoutExpired:
             pass
-    r = measure_native(size_mb)
-    if r is None:
+    native = measure_native(size_mb)
+    if native is None and tpu is None:
         print(json.dumps({"metric": "encode_text_mb_s", "value": 0.0,
                           "unit": "MB/s", "vs_baseline": 0.0,
                           "error": "roundtrip mismatch"}))
         return 1
-    emit(r, size_mb)
+    # Headline: the fastest verified backend of the framework; both
+    # sub-results are reported so the TPU-path number stays visible.
+    candidates = [r for r in (tpu, native) if r is not None]
+    best = max(candidates, key=lambda r: r["enc_mb_s"])
+    emit(best, size_mb, tpu=tpu, native=native)
     return 0
 
 
