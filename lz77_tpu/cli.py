@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0/1/powers of two); encoded safely, not corruptly")
     p.add_argument("--report", action="store_true",
                    help="Print a JSON run report to stderr")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Capture a jax.profiler device trace into DIR")
     return p
 
 
@@ -138,10 +140,13 @@ def main(argv: list[str] | None = None) -> int:
             }), file=sys.stderr)
         return 0
     try:
-        if args.mode == "encode":
-            result, report = _encode(data, params, args)
-        else:
-            result, report = _decode(data, args)
+        from .utils import profiling
+
+        with profiling.trace(args.profile):
+            if args.mode == "encode":
+                result, report = _encode(data, params, args)
+            else:
+                result, report = _decode(data, args)
     except (ValueError, RuntimeError) as e:
         # Corrupt/truncated stream or invalid parameters: clean diagnostic,
         # nonzero exit (the reference perror+exits here, lz77.c:273-277).

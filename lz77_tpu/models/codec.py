@@ -131,6 +131,7 @@ def iter_block_bits(
     fault_injector: faults_lib.FaultInjector | None = None,
     start_block: int = 0,
     entry: int = 0,
+    phases: metrics_lib.PhaseTimes | None = None,
 ):
     """Yield (block_index, entry, next_entry, token_count, bit_array) per block.
 
@@ -170,17 +171,21 @@ def iter_block_bits(
         return ("compact", bi, gn, packed, O16)
 
     state = {"entry": entry}
+    ph = phases if phases is not None else metrics_lib.PhaseTimes()
 
     def process(handle):
         kind, bi, gn, a1, a2 = handle
         g0 = bi * G
-        if kind == "full":
-            Lg, Og = np.asarray(a1), np.asarray(a2)
-        else:
-            packed_np = np.asarray(a1)  # the only bulk fetch: ~B/2 per block
+        with metrics_lib.StopwatchPhase(ph, "match"):
+            if kind == "full":
+                Lg, Og = np.asarray(a1), np.asarray(a2)
+            else:
+                packed_np = np.asarray(a1)  # the only bulk fetch: ~B/2/block
         all_starts: list[np.ndarray] = []
         all_lens: list[np.ndarray] = []
         entries: list[tuple[int, int]] = []
+        sw = metrics_lib.StopwatchPhase(ph, "parse")
+        sw.__enter__()
         for i in range(gn):
             gs = (g0 + i) * B
             vl = min(B, n - gs)
@@ -198,6 +203,7 @@ def iter_block_bits(
             all_starts.append(starts)
             all_lens.append(L[starts] if starts.shape[0] else
                             np.zeros(0, np.uint8))
+        sw.__exit__()
         counts = [s.shape[0] for s in all_starts]
         if sum(counts) == 0:
             off_cat = np.zeros(0, np.int64)
@@ -217,6 +223,8 @@ def iter_block_bits(
             )[: flat.shape[0]]
         results = []
         c0 = 0
+        sw2 = metrics_lib.StopwatchPhase(ph, "pack")
+        sw2.__enter__()
         for i in range(gn):
             c = counts[i]
             gs = (g0 + i) * B
@@ -231,6 +239,7 @@ def iter_block_bits(
             e_in, e_out = entries[i]
             results.append((g0 + i, e_in, e_out, c, chunk))
             c0 += c
+        sw2.__exit__()
         return results
 
     pending = None
@@ -274,7 +283,7 @@ def encode_bytes(
         for _, _, _, c, chunk in iter_block_bits(
             x, params, block_size=block_size, batch_blocks=batch_blocks,
             matcher=matcher, match_fn=match_fn, retries=retries,
-            fault_injector=fault_injector,
+            fault_injector=fault_injector, phases=st.phases,
         ):
             total_tokens += c
             if chunk.shape[0]:
