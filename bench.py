@@ -77,21 +77,51 @@ def run_suite(enc, dec, data: bytes) -> dict | None:
 
 
 def measure_tpu(size_mb: int) -> dict | None:
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
     from lz77_tpu import spec
-    from lz77_tpu.models import codec
+    from lz77_tpu.models import codec, encoder
 
     params = spec.Params()
     data = make_text(size_mb << 20)
-    kw = dict(block_size=1 << 16, batch_blocks=16, matcher="chunked")
+    kw = dict(block_size=1 << 16, batch_blocks=16, matcher="pallas")
     r = run_suite(
         lambda d: codec.encode_bytes(d, params, **kw),
         codec.decode_bytes,
         data,
     )
-    if r is not None:
-        r["device"] = str(jax.devices()[0])
+    if r is None:
+        return None
+    r["device"] = str(jax.devices()[0])
+
+    # Device-resident match-kernel throughput: the number that carries to a
+    # production deployment, where host<->device moves at PCIe/DMA speed
+    # rather than through this environment's network tunnel (~45 MB/s).
+    B, G = 1 << 16, 16
+    x = np.frombuffer(data[: G * B], np.uint8).reshape(G, B)
+    args = [
+        jax.device_put(jnp.asarray(x)),
+        jax.device_put(jnp.zeros((G, params.d_limit), jnp.uint8)),
+        jax.device_put(jnp.zeros((G, params.len_limit), jnp.uint8)),
+        jax.device_put(jnp.zeros((G,), jnp.int32)),
+        jax.device_put(jnp.full((G,), B, jnp.int32)),
+    ]
+    f = jax.jit(functools.partial(
+        encoder.match_blocks_compact,
+        la=params.la, sb=params.sb, matcher="pallas",
+    ))
+    # Force full completion with a reduced fetch (async dispatch through the
+    # tunnel makes block_until_ready unreliable as a timing barrier).
+    np.asarray(jnp.sum(f(*args)[0].astype(jnp.int32)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jnp.sum(f(*args)[0].astype(jnp.int32)))
+        best = min(best, time.perf_counter() - t0)
+    r["device_match_mb_s"] = G * B / best / 1e6
     return r
 
 
@@ -113,10 +143,13 @@ def emit(r: dict, size_mb: int, tpu=None, native=None) -> None:
     def sub(d):
         if d is None:
             return None
-        return {"encode_mb_s": round(d["enc_mb_s"], 3),
-                "decode_mb_s": round(d["dec_mb_s"], 3),
-                "encode_runs_mb_s": round(d["runs_mb_s"], 3),
-                "device": d["device"]}
+        sub_d = {"encode_mb_s": round(d["enc_mb_s"], 3),
+                 "decode_mb_s": round(d["dec_mb_s"], 3),
+                 "encode_runs_mb_s": round(d["runs_mb_s"], 3),
+                 "device": d["device"]}
+        if "device_match_mb_s" in d:
+            sub_d["device_match_mb_s"] = round(d["device_match_mb_s"], 3)
+        return sub_d
 
     print(json.dumps({
         "metric": "encode_text_mb_s",

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Resume a previous encode from --manifest")
     p.add_argument("--backend", choices=("jax", "native", "numpy"),
                    default="jax", help="Execution backend")
+    p.add_argument("--threads", type=int, default=None,
+                   help="Native-backend encoder threads (default: all cores; "
+                        "the parallel encoder emits byte-identical streams)")
     p.add_argument("--force-sb", action="store_true",
                    help="Accept degenerate -s values the reference corrupts "
                         "(0/1/powers of two); encoded safely, not corruptly")
@@ -181,7 +184,10 @@ def _encode(data: bytes, params: spec.Params, args):
     if args.backend == "native":
         from . import native
 
-        return native.encode(data, params), {"backend": "native"}
+        return (
+            native.encode(data, params, threads=args.threads),
+            {"backend": "native", "threads": args.threads or "auto"},
+        )
     from .models import codec
 
     stats = codec.EncodeStats()

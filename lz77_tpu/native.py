@@ -51,6 +51,10 @@ def load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_int64,
             ],
+            "lz77_encode_mt": [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            ],
             "lz77_decode": [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64,
@@ -86,7 +90,15 @@ def available() -> bool:
         return False
 
 
-def encode(data: bytes, params: spec.Params | None = None) -> bytes:
+def encode(
+    data: bytes,
+    params: spec.Params | None = None,
+    *,
+    threads: int | None = None,
+    block_size: int = 0,
+) -> bytes:
+    """Exact canonical encode; ``threads`` > 1 runs the block-parallel
+    speculative-parse encoder (byte-identical stream, see lz77host.cpp)."""
     params = params or spec.Params()
     lib = load()
     n = len(data)
@@ -95,9 +107,17 @@ def encode(data: bytes, params: spec.Params | None = None) -> bytes:
         raise ValueError("invalid parameters")
     src = np.frombuffer(data, np.uint8) if n else np.zeros(1, np.uint8)
     out = np.zeros(cap, np.uint8)
-    size = lib.lz77_encode(
-        src.ctypes.data, n, params.la, params.sb, out.ctypes.data, cap
-    )
+    if threads is None:
+        threads = os.cpu_count() or 1
+    if threads > 1:
+        size = lib.lz77_encode_mt(
+            src.ctypes.data, n, params.la, params.sb, out.ctypes.data, cap,
+            threads, block_size,
+        )
+    else:
+        size = lib.lz77_encode(
+            src.ctypes.data, n, params.la, params.sb, out.ctypes.data, cap
+        )
     if size < 0:
         raise RuntimeError(f"native encode failed: {size}")
     return out[:size].tobytes()

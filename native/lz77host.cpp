@@ -18,7 +18,10 @@
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -34,7 +37,8 @@ struct BitWriter {
   std::vector<uint8_t>& out;
   uint64_t acc = 0;
   int nbits = 0;
-  explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+  explicit BitWriter(std::vector<uint8_t>& o, int bit_phase = 0)
+      : out(o), nbits(bit_phase) {}  // phase: low zero bits of the 1st byte
   inline void put(uint32_t value, int width) {
     acc |= (static_cast<uint64_t>(value) & ((width < 32)
                ? ((1u << width) - 1u) : 0xFFFFFFFFu)) << nbits;
@@ -76,6 +80,114 @@ struct BitReader {
   }
 };
 
+// Longest l in [0, cap] with a[i] == b[i], word-at-a-time (b may overlap a
+// ahead of it — byte equality semantics are overlap-agnostic, unlike copies).
+inline int match_len(const uint8_t* a, const uint8_t* b, int cap) {
+  int l = 0;
+  while (l + 8 <= cap) {
+    uint64_t wa, wb;
+    std::memcpy(&wa, a + l, 8);
+    std::memcpy(&wb, b + l, 8);
+    const uint64_t x = wa ^ wb;
+    if (x) return l + (__builtin_ctzll(x) >> 3);
+    l += 8;
+  }
+  while (l < cap && a[l] == b[l]) ++l;
+  return l;
+}
+
+// Exact sliding-window matcher: 2-gram hash chains + byte last-occurrence
+// table.  Finds the true longest match with smallest-offset tie-break —
+// identical semantics (and therefore identical streams) to the device
+// matchers and the numpy spec.  Replaces the reference's path-limited BST
+// (tree.c:118-152) whose answer it dominates (SURVEY.md §2.4).
+struct ChainMatcher {
+  std::vector<int64_t> head;
+  std::vector<int64_t> prev;
+  int64_t last_byte[256];
+  size_t rmask = 0;
+  const uint8_t* in = nullptr;
+  int64_t n = 0;
+  int dlim = 0;
+  int max_len = 0;
+
+  void init(const uint8_t* data, int64_t size, int dlim_, int max_len_) {
+    in = data;
+    n = size;
+    dlim = dlim_;
+    max_len = max_len_;
+    head.assign(1 << 16, -1);
+    size_t ring = 64;
+    while (ring < static_cast<size_t>(2 * (dlim + 1))) ring <<= 1;
+    rmask = ring - 1;
+    prev.assign(ring, -1);
+    for (int i = 0; i < 256; ++i) last_byte[i] = -1;
+  }
+
+  inline void insert(int64_t q) {
+    last_byte[in[q]] = q;
+    if (q + 1 < n) {
+      const uint32_t g = in[q] | (static_cast<uint32_t>(in[q + 1]) << 8);
+      prev[static_cast<size_t>(q) & rmask] = head[g];
+      head[g] = q;
+    }
+  }
+
+  // Exact longest match at p (length <= cap_len), nearest-first walk.
+  inline void find(int64_t p, int cap_len, int* blen, int64_t* boff) const {
+    int best_len = 0;
+    int64_t best_off = 0;
+    if (cap_len >= 1 && dlim >= 1) {
+      const int64_t q1 = last_byte[in[p]];
+      if (q1 >= 0 && p - q1 <= dlim) {
+        best_len = 1;
+        best_off = p - q1;
+      }
+      if (cap_len >= 2 && p + 1 < n) {
+        const uint32_t g = in[p] | (static_cast<uint32_t>(in[p + 1]) << 8);
+        for (int64_t q = head[g]; q >= 0 && p - q <= dlim;) {
+          const int l = 2 + match_len(in + p + 2, in + q + 2, cap_len - 2);
+          if (l > best_len) {
+            best_len = l;
+            best_off = p - q;
+            if (l >= cap_len) break;  // cannot improve
+          }
+          const int64_t qp = prev[static_cast<size_t>(q) & rmask];
+          if (qp >= q) break;  // stale ring slot
+          q = qp;
+        }
+      }
+    }
+    *blen = best_len;
+    *boff = best_off;
+  }
+};
+
+// Exact longest match by ascending distance sweep (no tables).  Used for the
+// short pre-resync fixup walks of the parallel encoder where building hash
+// state would cost more than it saves.
+inline void brute_find(const uint8_t* in, int64_t n, int64_t p, int cap_len,
+                       int dlim, int* blen, int64_t* boff, int64_t* cost) {
+  int best_len = 0;
+  int64_t best_off = 0;
+  const int64_t dmax = p < dlim ? p : dlim;
+  int64_t d = 1;
+  if (cap_len >= 1) {
+    for (; d <= dmax; ++d) {
+      if (in[p] != in[p - d]) continue;
+      const int l = 1 + match_len(in + p + 1, in + p - d + 1, cap_len - 1);
+      if (l > best_len) {
+        best_len = l;
+        best_off = d;
+        if (l >= cap_len) break;
+      }
+    }
+  }
+  *cost += d;
+  *blen = best_len;
+  *boff = best_off;
+}
+
 }  // namespace
 
 extern "C" {
@@ -103,51 +215,16 @@ int64_t lz77_encode(const uint8_t* in, int64_t n, int la, int sb,
   bw.put(static_cast<uint32_t>(sb), 16);           // header, lz77.c:74-75
   bw.put(static_cast<uint32_t>(la), 16);
 
-  // Exact-2-gram chains: head[g] = most recent position whose 2-gram is g;
-  // prev[p & mask] links to the previous such position.  prev is a ring of
-  // >= 2*dlim slots: positions within the window are never clobbered, and
-  // stale slots (older than the window) are cut off by the distance check
-  // plus the strictly-decreasing guard in the walk.
-  std::vector<int64_t> head(1 << 16, -1);
-  size_t ring = 64;
-  while (ring < static_cast<size_t>(2 * (dlim + 1))) ring <<= 1;
-  const size_t rmask = ring - 1;
-  std::vector<int64_t> prev(ring, -1);
-  int64_t last_byte[256];
-  for (int i = 0; i < 256; ++i) last_byte[i] = -1;
+  ChainMatcher m;
+  m.init(in, n, dlim, max_len);
 
   int64_t p = 0;
   while (p < n) {
     const int cap_len =
         static_cast<int>(n - p - 1 < max_len ? n - p - 1 : max_len);
-    int best_len = 0;
-    int64_t best_off = 0;
-
-    if (cap_len >= 1 && dlim >= 1) {
-      // Length-1 fallback: nearest previous occurrence of this byte.
-      int64_t q1 = last_byte[in[p]];
-      if (q1 >= 0 && p - q1 <= dlim) {
-        best_len = 1;
-        best_off = p - q1;
-      }
-      if (cap_len >= 2 && p + 1 < n) {
-        const uint32_t g = in[p] | (static_cast<uint32_t>(in[p + 1]) << 8);
-        for (int64_t q = head[g]; q >= 0 && p - q <= dlim;) {
-          int l = 2;
-          const uint8_t* a = in + p;
-          const uint8_t* b = in + q;
-          while (l < cap_len && a[l] == b[l]) ++l;
-          if (l > best_len) {
-            best_len = l;
-            best_off = p - q;
-            if (l >= cap_len) break;               // cannot improve
-          }
-          const int64_t qp = prev[static_cast<size_t>(q) & rmask];
-          if (qp >= q) break;                      // stale ring slot
-          q = qp;
-        }
-      }
-    }
+    int best_len;
+    int64_t best_off;
+    m.find(p, cap_len, &best_len, &best_off);
 
     const uint8_t next = in[p + best_len];
     bw.put(static_cast<uint32_t>(best_off), off_bits);
@@ -155,21 +232,292 @@ int64_t lz77_encode(const uint8_t* in, int64_t n, int la, int sb,
     bw.put(next, 8);
 
     const int64_t consume = best_len + 1;
-    for (int64_t i = 0; i < consume && p + i < n; ++i) {
-      const int64_t q = p + i;
-      last_byte[in[q]] = q;
-      if (q + 1 < n) {
-        const uint32_t g = in[q] | (static_cast<uint32_t>(in[q + 1]) << 8);
-        prev[static_cast<size_t>(q) & rmask] = head[g];
-        head[g] = q;
-      }
-    }
+    for (int64_t i = 0; i < consume && p + i < n; ++i) m.insert(p + i);
     p += consume;
   }
   bw.close();
   if (static_cast<int64_t>(stream.size()) > cap) return -2;
   std::memcpy(out, stream.data(), stream.size());
   return static_cast<int64_t>(stream.size());
+}
+
+// ---------------------------------------------------------------------------
+// Parallel exact encoder.
+//
+// The greedy token chain starting at a position is a pure function of that
+// position (matches depend only on the window's bytes, never on how the
+// parse arrived).  So: phase 1 parses every block SPECULATIVELY from its
+// first byte in parallel, recording each visited position's token index;
+// phase 2 chains the true entry positions serially — when a block's true
+// entry differs from its start (the previous block's last token overlapped
+// the boundary by < la bytes), a short fixup walk re-derives tokens with an
+// ascending-distance exact matcher until it lands on a speculatively
+// visited position, then splices the precomputed chain.  On typical data
+// the parses resynchronise within a few tokens; periodic data that never
+// resyncs is handled by an op budget that flips the fixup to a fresh
+// hash-chain walk (bounded at ~1x the block's phase-1 cost).  The output
+// stream is byte-identical to lz77_encode's for every input.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BlockParse {
+  std::vector<uint32_t> tok;       // off | len << 16 | next << 24
+  std::vector<uint64_t> visited;   // bitmap over positions - start
+  int64_t exit_spec = 0;           // first position >= block end
+
+  inline bool is_visited(int64_t rel) const {
+    return (visited[static_cast<size_t>(rel >> 6)] >> (rel & 63)) & 1;
+  }
+  // Token index of a visited position: its rank in the bitmap.
+  inline int64_t rank(int64_t rel) const {
+    const int64_t w = rel >> 6;
+    int64_t r = 0;
+    for (int64_t i = 0; i < w; ++i) {
+      r += __builtin_popcountll(visited[static_cast<size_t>(i)]);
+    }
+    const uint64_t mask = (rel & 63) ? ((1ull << (rel & 63)) - 1) : 0;
+    return r + __builtin_popcountll(visited[static_cast<size_t>(w)] & mask);
+  }
+};
+
+inline uint32_t pack_tok(int64_t off, int len, uint8_t next) {
+  return static_cast<uint32_t>(off) | (static_cast<uint32_t>(len) << 16) |
+         (static_cast<uint32_t>(next) << 24);
+}
+
+void speculative_block(const uint8_t* in, int64_t n, int64_t bs, int64_t be,
+                       int dlim, int max_len, BlockParse* bp) {
+  ChainMatcher m;
+  m.init(in, n, dlim, max_len);
+  const int64_t h0 = bs - dlim < 0 ? 0 : bs - dlim;
+  for (int64_t q = h0; q < bs; ++q) m.insert(q);  // halo: true window bytes
+  bp->visited.assign(static_cast<size_t>(((be - bs) >> 6) + 1), 0);
+  bp->tok.clear();
+  bp->tok.reserve(static_cast<size_t>((be - bs) / 4 + 16));
+  int64_t p = bs;
+  while (p < be) {
+    const int cap_len =
+        static_cast<int>(n - p - 1 < max_len ? n - p - 1 : max_len);
+    int len;
+    int64_t off;
+    m.find(p, cap_len, &len, &off);
+    bp->visited[static_cast<size_t>((p - bs) >> 6)] |= 1ull << ((p - bs) & 63);
+    bp->tok.push_back(pack_tok(off, len, in[p + len]));
+    const int64_t consume = len + 1;
+    for (int64_t i = 0; i < consume && p + i < n; ++i) m.insert(p + i);
+    p += consume;
+  }
+  bp->exit_spec = p;
+}
+
+}  // namespace
+
+// Parallel exact encode: same stream as lz77_encode, block-parallel.
+// `nthreads` <= 0 means hardware concurrency; `block_size` <= 0 picks a
+// default.  Returns stream size or <0 (same error codes as lz77_encode).
+int64_t lz77_encode_mt(const uint8_t* in, int64_t n, int la, int sb,
+                       uint8_t* out, int64_t cap, int nthreads,
+                       int64_t block_size) {
+  if (la < 2 || la > 255 || sb < 1 || sb > 65535) return -1;
+  const int off_bits = bitof(sb);
+  const int len_bits = bitof(la);
+  const int max_len = la - 1;
+  const int dlim = off_bits >= 31 ? sb
+      : (sb < (1 << off_bits) - 1 ? sb : (1 << off_bits) - 1);
+
+  if (block_size <= 0) {
+    // Default: one block per thread (phase-1 cost is uniform per byte, so
+    // static assignment balances), floored at 1 MiB and capped at 64 MiB.
+    int hw0 = static_cast<int>(std::thread::hardware_concurrency());
+    if (hw0 <= 0) hw0 = 1;
+    const int nt = nthreads > 0 ? nthreads : hw0;
+    block_size = (n + nt - 1) / (nt > 0 ? nt : 1);
+    if (block_size < (1 << 20)) block_size = 1 << 20;
+    if (block_size > (64 << 20)) block_size = 64 << 20;
+  }
+  if (block_size < 4 * la) block_size = 4 * la;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw <= 0) hw = 1;
+  if (nthreads <= 0) nthreads = hw;
+  const int64_t nb = n > 0 ? (n + block_size - 1) / block_size : 0;
+  if (nthreads > nb) nthreads = static_cast<int>(nb > 0 ? nb : 1);
+
+  if (n == 0 || nthreads <= 1 || nb <= 1) {
+    return lz77_encode(in, n, la, sb, out, cap);
+  }
+
+  // Phase 1: speculative per-block parses, blocks strided over threads.
+  std::vector<BlockParse> parses(static_cast<size_t>(nb));
+  {
+    std::vector<std::thread> pool;
+    pool.reserve(static_cast<size_t>(nthreads));
+    for (int t = 0; t < nthreads; ++t) {
+      pool.emplace_back([&, t]() {
+        for (int64_t b = t; b < nb; b += nthreads) {
+          const int64_t bs = b * block_size;
+          const int64_t be = bs + block_size < n ? bs + block_size : n;
+          speculative_block(in, n, bs, be, dlim, max_len,
+                            &parses[static_cast<size_t>(b)]);
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+
+  // Phase 2a: serial entry chaining.  Resolves each block's final token
+  // list as (head tokens from the fixup walk) + (a spliced tail range of
+  // the speculative chain).  Cheap on resynchronising data; the op budget
+  // bounds pathological never-resync inputs at ~1x the block's serial cost.
+  std::vector<std::vector<uint32_t>> heads(static_cast<size_t>(nb));
+  std::vector<int64_t> tail_from(static_cast<size_t>(nb));  // -1: no tail
+  int64_t total_tokens = 0;
+  int64_t entry = 0;
+  for (int64_t b = 0; b < nb; ++b) {
+    const int64_t bs = b * block_size;
+    const int64_t be = bs + block_size < n ? bs + block_size : n;
+    BlockParse& bp = parses[static_cast<size_t>(b)];
+    tail_from[static_cast<size_t>(b)] = -1;
+    if (entry >= be) continue;  // previous token swallowed this whole block
+    if (entry == bs) {
+      tail_from[static_cast<size_t>(b)] = 0;
+      total_tokens += static_cast<int64_t>(bp.tok.size());
+      entry = bp.exit_spec;
+      continue;
+    }
+    // Fixup walk from the true entry until it lands on a speculatively
+    // visited position, then splice the precomputed tail.
+    std::vector<uint32_t>& head = heads[static_cast<size_t>(b)];
+    int64_t p = entry;
+    int64_t budget = (be - bs) * 8;  // ~ phase-1 cost of this block
+    while (p < be) {
+      if (bp.is_visited(p - bs)) {  // resynchronised
+        const int64_t idx = bp.rank(p - bs);
+        tail_from[static_cast<size_t>(b)] = idx;
+        total_tokens += static_cast<int64_t>(bp.tok.size()) - idx;
+        p = bp.exit_spec;
+        break;
+      }
+      const int cap_len =
+          static_cast<int>(n - p - 1 < max_len ? n - p - 1 : max_len);
+      int len;
+      int64_t off;
+      if (budget > 0) {
+        int64_t cost = 0;
+        brute_find(in, n, p, cap_len, dlim, &len, &off, &cost);
+        budget -= cost;
+      } else {
+        // Budget blown (periodic input that never resyncs): finish the
+        // block with a fresh hash-chain walk at ~serial cost.
+        ChainMatcher m;
+        m.init(in, n, dlim, max_len);
+        const int64_t h0 = p - dlim < 0 ? 0 : p - dlim;
+        for (int64_t q = h0; q < p; ++q) m.insert(q);
+        while (p < be) {
+          const int cl =
+              static_cast<int>(n - p - 1 < max_len ? n - p - 1 : max_len);
+          int l2;
+          int64_t o2;
+          m.find(p, cl, &l2, &o2);
+          head.push_back(pack_tok(o2, l2, in[p + l2]));
+          const int64_t consume = l2 + 1;
+          for (int64_t i = 0; i < consume && p + i < n; ++i) m.insert(p + i);
+          p += consume;
+        }
+        break;
+      }
+      head.push_back(pack_tok(off, len, in[p + len]));
+      p += len + 1;
+    }
+    total_tokens += static_cast<int64_t>(head.size());
+    if (std::getenv("LZ77_MT_DEBUG")) {
+      std::fprintf(stderr,
+                   "lz77_mt block %lld: head=%zu spliced=%d budget_left=%lld\n",
+                   static_cast<long long>(b), head.size(),
+                   tail_from[static_cast<size_t>(b)] >= 0 ? 1 : 0,
+                   static_cast<long long>(budget));
+    }
+    entry = p;
+  }
+
+  // Phase 2b: parallel pack.  Token bit positions are affine (SURVEY.md §7
+  // insight 1), so every block's payload span is known up front; each block
+  // packs into a local buffer starting at its bit phase and the buffers are
+  // OR-merged at the (at most one) shared boundary byte.
+  const int64_t width = off_bits + len_bits + 8;
+  const int64_t total_bits = 32 + total_tokens * width;
+  if ((total_bits + 7) / 8 > cap) return -2;
+
+  std::vector<int64_t> tok_before(static_cast<size_t>(nb) + 1, 0);
+  for (int64_t b = 0; b < nb; ++b) {
+    const int64_t c =
+        static_cast<int64_t>(heads[static_cast<size_t>(b)].size()) +
+        (tail_from[static_cast<size_t>(b)] >= 0
+             ? static_cast<int64_t>(
+                   parses[static_cast<size_t>(b)].tok.size()) -
+                   tail_from[static_cast<size_t>(b)]
+             : 0);
+    tok_before[static_cast<size_t>(b) + 1] = tok_before[static_cast<size_t>(b)] + c;
+  }
+
+  std::vector<std::vector<uint8_t>> bufs(static_cast<size_t>(nb));
+  {
+    std::vector<std::thread> pool;
+    pool.reserve(static_cast<size_t>(nthreads));
+    for (int t = 0; t < nthreads; ++t) {
+      pool.emplace_back([&, t]() {
+        for (int64_t b = t; b < nb; b += nthreads) {
+          const int64_t bit0 = 32 + tok_before[static_cast<size_t>(b)] * width;
+          std::vector<uint8_t>& buf = bufs[static_cast<size_t>(b)];
+          const int64_t c = tok_before[static_cast<size_t>(b) + 1] -
+                            tok_before[static_cast<size_t>(b)];
+          if (c == 0) continue;  // swallowed block: no bytes, no padding
+          buf.reserve(static_cast<size_t>((c * width) / 8 + 2));
+          BitWriter pw(buf, static_cast<int>(bit0 & 7));
+          const auto emit = [&](uint32_t tk) {
+            pw.put(tk & 0xFFFF, off_bits);
+            pw.put((tk >> 16) & 0xFF, len_bits);
+            pw.put(tk >> 24, 8);
+          };
+          for (uint32_t tk : heads[static_cast<size_t>(b)]) emit(tk);
+          const int64_t tf = tail_from[static_cast<size_t>(b)];
+          if (tf >= 0) {
+            const std::vector<uint32_t>& tok =
+                parses[static_cast<size_t>(b)].tok;
+            for (size_t i = static_cast<size_t>(tf); i < tok.size(); ++i) {
+              emit(tok[i]);
+            }
+          }
+          pw.close();
+        }
+      });
+    }
+    for (auto& th : pool) th.join();
+  }
+
+  // Serial merge: header, then each block's bytes; a block whose payload
+  // starts mid-byte contributes its low bits by OR into the shared byte.
+  out[0] = static_cast<uint8_t>(sb & 0xFF);
+  out[1] = static_cast<uint8_t>(sb >> 8);
+  out[2] = static_cast<uint8_t>(la & 0xFF);
+  out[3] = static_cast<uint8_t>(la >> 8);
+  int64_t wpos = 4;  // next unwritten byte
+  for (int64_t b = 0; b < nb; ++b) {
+    const std::vector<uint8_t>& buf = bufs[static_cast<size_t>(b)];
+    if (buf.empty()) continue;
+    const int64_t bit0 = 32 + tok_before[static_cast<size_t>(b)] * width;
+    const int64_t byte0 = bit0 / 8;
+    size_t i = 0;
+    if (byte0 < wpos) {  // shared boundary byte
+      out[byte0] |= buf[0];
+      i = 1;
+    }
+    if (i < buf.size()) {
+      std::memcpy(out + byte0 + i, buf.data() + i, buf.size() - i);
+    }
+    wpos = byte0 + static_cast<int64_t>(buf.size());
+  }
+  return (total_bits + 7) / 8;
 }
 
 // Exact decoded size of a stream (scan tokens, sum len+1).  <0 on error.

@@ -55,3 +55,35 @@ def test_native_speed_sanity(rng):
 def test_native_rejects_corrupt():
     with pytest.raises(ValueError):
         native.decode(b"\x01")
+
+
+# --- parallel (speculative-parse) encoder -------------------------------------
+
+
+@pytest.mark.parametrize("name", CORPUS_SMALL)
+def test_native_mt_identical_streams(name, rng):
+    """The block-parallel encoder emits byte-identical streams to serial.
+
+    Covers the splice path (small blocks force many boundaries) and several
+    parameter sets (native/lz77host.cpp lz77_encode_mt).
+    """
+    data = CORPUS_SMALL[name](rng)
+    for p in [spec.Params(), spec.Params(la=31, sb=1023)]:
+        serial = native.encode(data, p, threads=1)
+        for bs in (0, 1 << 16):
+            assert native.encode(data, p, threads=2, block_size=bs) == serial
+
+
+def test_native_mt_never_resync_inputs(rng):
+    """Periodic inputs whose parses never resynchronise still match serial.
+
+    Exercises the fixup op budget and the hash-rebuild fallback."""
+    cases = [
+        b"\x00" * (1 << 18),
+        b"abcde" * (1 << 15),
+        rng.integers(0, 256, 4000, dtype=np.uint8).tobytes() * 80,
+    ]
+    for data in cases:
+        serial = native.encode(data, threads=1)
+        assert native.encode(data, threads=2, block_size=1 << 16) == serial
+        assert native.decode(serial) == data
