@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-blocks", type=int, default=None,
                    help="Blocks encoded per device batch")
     p.add_argument("--matcher",
-                   choices=("brute", "chunked", "sorted", "pallas"),
+                   choices=("brute", "chunked", "sorted", "pallas", "bitplane"),
                    default="chunked",
                    help="Match-finder backend (all exact, same streams)")
     p.add_argument("--manifest", default=None,

@@ -1,0 +1,202 @@
+"""Bit-plane (bit-sliced) exact match finder.
+
+The distance sweep is the codec's only heavy compute: O(B * d_limit)
+candidate comparisons per block (the reference amortises it with a BST walk,
+tree.c:118-152; our exact matchers sweep it).  The int-domain sweeps
+(`ops.match`, `ops.pallas_match`) spend one 32-bit VPU lane per *position* on
+what are 1-bit quantities (byte equality, run masks).  This matcher packs
+32 positions into each int32 lane, cutting the per-(position, distance) op
+count ~6x:
+
+* The byte buffer is decomposed into 8 *bit-planes*.  Plane b is a string of
+  N bits (bit b of each byte), packed into int32 words with a STRIDED
+  layout: bit j of word w holds position ``w + j*NW`` (NW = word count).
+  In this layout, shifting a whole plane by one position = rotating the
+  word array by one word (the word that wraps moves up one stripe, i.e.
+  ``<< 1``) — an O(1)-op whole-plane shift with no sub-word funnels.
+
+* Distances are swept incrementally: 8 shifted source planes (plus a
+  shifted source-validity plane) advance by one word per distance.  Byte
+  equality at distance d is then ``~OR_b(P_b ^ SP_b) & V_d`` — ~17 word-ops
+  covering 32 positions each.
+
+* Run masks by prefix-AND: ``M_k[t] = eq[t] & eq[t+1] & ... & eq[t+k-1]``
+  via static one-stripe-safe shifts; ``found_k |= M_k`` accumulates "some
+  distance <= d has a match of length >= k at this position".
+
+* Smallest-distance offsets with NO per-position arithmetic: when a
+  position's ``found_k`` first flips (``newly_k``), the distance d is
+  recorded by OR-ing d's bits into per-k distance bit-planes.  Inside a
+  32-iteration unrolled window the low 5 bits of d are STATIC (zero-cost
+  plane selection); the high bits are window-constant and folded once per
+  window.  First-touch OR == smallest distance — the canonical tie-break,
+  so every backend keeps emitting byte-identical streams.
+
+Outputs are bit-exact with ``ops.match.find_matches_brute`` (tested).
+Everything is jnp + lax elementwise int32 on whole planes; XLA fuses each
+distance window into a handful of VPU loops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from .. import spec
+
+_WORD = 32   # positions per int32 word (one per bit)
+_DBITS = 16  # max distance bit-planes (d_limit <= 65535)
+_WIN = 32    # distances per unrolled window (static low-5-bit trick)
+
+
+def _to_planes(buf_u8: jnp.ndarray, nw: int) -> jnp.ndarray:
+    """(32*nw,) uint8 -> (8, nw) int32 bit-planes in strided layout."""
+    b = buf_u8.reshape(_WORD, nw).astype(jnp.int32)  # [j, w] = pos j*nw + w
+    js = jnp.arange(_WORD, dtype=jnp.int32)[None, :, None]
+    bits = (b[None, :, :] >> jnp.arange(8, dtype=jnp.int32)[:, None, None]) & 1
+    return (bits << js).sum(axis=1).astype(jnp.int32)  # (8, nw)
+
+
+def _pack_mask(cond: jnp.ndarray) -> jnp.ndarray:
+    """(32, nw) bool -> (nw,) int32 packed along the stripe axis."""
+    js = jnp.arange(_WORD, dtype=jnp.int32)[:, None]
+    return (cond.astype(jnp.int32) << js).sum(axis=0)
+
+
+def _shift_src(x: jnp.ndarray) -> jnp.ndarray:
+    """Advance source planes one position: y holds bit at (position - 1).
+
+    Word rotate; the wrapped last word moves UP one stripe (``<< 1``).
+    """
+    return jnp.concatenate([x[..., -1:] << 1, x[..., :-1]], axis=-1)
+
+
+def _shift_pos_fwd(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """y holds x's bit at (position + k), static k < nw.
+
+    Word rotate the other way; wrapped words move DOWN a stripe (logical
+    ``>> 1`` — lax.shift_right_logical so the sign bit does not smear).
+    """
+    if k == 0:
+        return x
+    wrapped = lax.shift_right_logical(x[..., :k], jnp.int32(1))
+    return jnp.concatenate([x[..., k:], wrapped], axis=-1)
+
+
+def find_matches_bitplane(
+    block: jnp.ndarray,
+    halo: jnp.ndarray,
+    right: jnp.ndarray,
+    avail: jnp.ndarray,
+    valid_ext: jnp.ndarray,
+    *,
+    la: int,
+    sb: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as ``ops.match.find_matches_brute`` (bit-plane backend).
+
+    Requires ``halo.shape[0] == d_limit(sb)`` (like the chunked matcher) and
+    ``la <= 33`` (run-mask shifts stay within one stripe).
+    """
+    B = block.shape[0]
+    depth = spec.len_limit(la)
+    dlim = spec.d_limit(sb)
+    if dlim == 0 or depth == 0:
+        z = jnp.zeros((B,), jnp.int32)
+        return z, z
+    H = halo.shape[0]
+    if H != dlim:
+        raise ValueError(
+            f"bitplane matcher requires halo size == d_limit ({dlim}), got {H}"
+        )
+    R = right.shape[0]
+    if depth > _WORD + 1:
+        raise ValueError("bitplane matcher supports la <= 33")
+
+    n_real = H + B + R
+    nw = -(-n_real // _WORD)
+    nw += (-nw) % 128  # lane-friendly word count
+    n_tot = _WORD * nw
+    if nw <= depth:
+        raise ValueError("block too small for bitplane matcher")
+
+    buf = jnp.concatenate(
+        [halo, block, right, jnp.zeros((n_tot - n_real,), jnp.uint8)]
+    )
+    planes = _to_planes(buf, nw)  # (8, nw)
+
+    # Source-validity plane: position t is a usable match SOURCE iff it is a
+    # real input byte: t in [H - avail, H + valid_ext).
+    pos = (
+        jnp.arange(_WORD, dtype=jnp.int32)[:, None] * nw
+        + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    )
+    vplane = _pack_mask((pos >= H - avail) & (pos < H + valid_ext))
+
+    dbits = max(dlim.bit_length(), 6)  # distance bit-planes actually needed
+    state0 = (
+        jnp.concatenate([planes, vplane[None, :]], axis=0),  # sp (9, nw), d=0
+        jnp.zeros((depth, nw), jnp.int32),                   # found
+        # distance planes as a tuple: plane-b updates touch only (depth, nw)
+        tuple(jnp.zeros((depth, nw), jnp.int32) for _ in range(dbits)),
+    )
+
+    n_windows = -(-dlim // _WIN)  # window w covers d in [32w+1, 32w+32]
+
+    def window(widx, st):
+        sp, found, dp = st
+        dp = list(dp)
+        base = widx * _WIN
+        win = jnp.zeros((depth, nw), jnp.int32)
+        for i in range(_WIN):
+            d = base + i + 1  # traced scalar; low 5 bits = (i+1) & 31 static
+            sp = _shift_src(sp)
+            neq = planes ^ sp[:8]
+            acc = neq[0]
+            for b in range(1, 8):
+                acc = acc | neq[b]
+            eq = ~acc & sp[8]
+            eq = jnp.where(d <= dlim, eq, 0)
+            ms = [eq]
+            m = eq
+            for k in range(1, depth):
+                m = m & _shift_pos_fwd(eq, k)
+                ms.append(m)
+            newly = jnp.stack(ms) & ~found
+            found = found | newly
+            if i < _WIN - 1:
+                win = win | newly
+                for b in range(5):  # static: d's low bits are (i+1)
+                    if ((i + 1) >> b) & 1:
+                        dp[b] = dp[b] | newly
+            else:
+                # d = base + 32: low 5 bits are 0; fold its high bits now.
+                for b in range(5, dbits):
+                    hot = ((base + _WIN) >> b) & 1
+                    dp[b] = jnp.where(hot != 0, dp[b] | newly, dp[b])
+        # window-constant high bits of d in [base+1, base+31]
+        for b in range(5, dbits):
+            hot = (base >> b) & 1
+            dp[b] = jnp.where(hot != 0, dp[b] | win, dp[b])
+        return sp, found, tuple(dp)
+
+    _, found, dp = lax.fori_loop(0, n_windows, window, state0)
+
+    # Extraction: unpack per-stripe.  L = count of set found_k (monotone in
+    # k), capped by lookahead shrinkage; O = the k = L distance value.
+    js = jnp.arange(_WORD, dtype=jnp.int32)[None, :, None]
+    fbits = (found[:, None, :] >> js) & 1  # (depth, 32, nw)
+    l_raw = fbits.sum(axis=0)  # (32, nw)
+    cap = jnp.minimum(depth, valid_ext - (pos - H) - 1)
+    l_full = jnp.minimum(l_raw, jnp.maximum(cap, 0))
+
+    dvals = jnp.zeros((depth, _WORD, nw), jnp.int32)
+    for b in range(dbits):
+        dvals = dvals + (((dp[b][:, None, :] >> js) & 1) << b)
+    ksel = jnp.maximum(l_full - 1, 0)[None]  # (1, 32, nw)
+    o_full = jnp.take_along_axis(dvals, ksel, axis=0)[0]
+    o_full = jnp.where(l_full > 0, o_full, 0)
+
+    L = l_full.reshape(-1)[H : H + B]
+    O = o_full.reshape(-1)[H : H + B]
+    return L, O

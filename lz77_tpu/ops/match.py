@@ -339,10 +339,17 @@ def split_key(key: jnp.ndarray, dlim: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     return L, jnp.where(L > 0, O, 0)
 
 
+def _find_matches_bitplane(*args, **kw):
+    from . import bitplane  # deferred to keep module import light
+
+    return bitplane.find_matches_bitplane(*args, **kw)
+
+
 MATCHERS = {
     "brute": find_matches_brute,
     "sorted": find_matches_sorted,
     "chunked": find_matches_chunked,
+    "bitplane": _find_matches_bitplane,
 }
 
 
@@ -351,6 +358,10 @@ def get_matcher(name: str):
         from . import pallas_match  # deferred: pulls in pallas machinery
 
         return pallas_match.find_matches_pallas
+    if name == "bitplane":
+        from . import bitplane
+
+        return bitplane.find_matches_bitplane
     try:
         return MATCHERS[name]
     except KeyError:
