@@ -87,7 +87,7 @@ def measure_tpu(size_mb: int) -> dict | None:
 
     params = spec.Params()
     data = make_text(size_mb << 20)
-    kw = dict(block_size=1 << 16, batch_blocks=16, matcher="pallas")
+    kw = dict(block_size=1 << 16, batch_blocks=16, matcher="pallas_bitplane")
     r = run_suite(
         lambda d: codec.encode_bytes(d, params, **kw),
         codec.decode_bytes,
@@ -111,7 +111,7 @@ def measure_tpu(size_mb: int) -> dict | None:
     ]
     f = jax.jit(functools.partial(
         encoder.match_blocks_compact,
-        la=params.la, sb=params.sb, matcher="pallas",
+        la=params.la, sb=params.sb, matcher="pallas_bitplane",
     ))
     # Force full completion with a reduced fetch (async dispatch through the
     # tunnel makes block_until_ready unreliable as a timing barrier).

@@ -46,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-blocks", type=int, default=None,
                    help="Blocks encoded per device batch")
     p.add_argument("--matcher",
-                   choices=("brute", "chunked", "sorted", "pallas", "bitplane"),
+                   choices=("brute", "chunked", "sorted", "pallas", "bitplane",
+                            "pallas_bitplane"),
                    default="chunked",
                    help="Match-finder backend (all exact, same streams)")
     p.add_argument("--manifest", default=None,

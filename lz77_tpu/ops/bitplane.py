@@ -181,9 +181,29 @@ def find_matches_bitplane(
         return sp, found, tuple(dp)
 
     _, found, dp = lax.fori_loop(0, n_windows, window, state0)
+    return _extract(
+        found, jnp.stack(dp), nw=nw, depth=depth, dbits=dbits, H=H, B=B,
+        valid_ext=valid_ext, pos=pos,
+    )
 
-    # Extraction: unpack per-stripe.  L = count of set found_k (monotone in
-    # k), capped by lookahead shrinkage; O = the k = L distance value.
+
+def _extract(
+    found: jnp.ndarray,   # (depth, nw)
+    dp: jnp.ndarray,      # (dbits, depth, nw)
+    *,
+    nw: int,
+    depth: int,
+    dbits: int,
+    H: int,
+    B: int,
+    valid_ext: jnp.ndarray,
+    pos: jnp.ndarray,     # (32, nw) strided position index
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Unpack found masks + distance bit-planes into per-position (L, O).
+
+    L = count of set found_k (monotone in k), capped by lookahead
+    shrinkage; O = the distance value recorded at k = L.
+    """
     js = jnp.arange(_WORD, dtype=jnp.int32)[None, :, None]
     fbits = (found[:, None, :] >> js) & 1  # (depth, 32, nw)
     l_raw = fbits.sum(axis=0)  # (32, nw)

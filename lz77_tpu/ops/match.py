@@ -362,10 +362,14 @@ def get_matcher(name: str):
         from . import bitplane
 
         return bitplane.find_matches_bitplane
+    if name == "pallas_bitplane":
+        from . import pallas_bitplane
+
+        return pallas_bitplane.find_matches_bitplane_pallas
     try:
         return MATCHERS[name]
     except KeyError:
         raise ValueError(
             f"unknown matcher {name!r}; available: "
-            f"{sorted(MATCHERS) + ['pallas']}"
+            f"{sorted(MATCHERS) + ['pallas', 'pallas_bitplane']}"
         ) from None

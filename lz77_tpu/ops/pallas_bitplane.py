@@ -1,0 +1,242 @@
+"""Pallas TPU port of the bit-plane exact matcher (ops/bitplane.py).
+
+Same algorithm — 8 byte bit-planes + a validity plane, incremental one-word
+shifts per distance, prefix-AND run masks, first-touch distance-bit
+recording — but with every piece of sweep state (shifted planes, found
+masks, distance planes) resident in VMEM scratch.  The XLA formulation
+materialises its carried state to HBM at every fusion boundary, which caps
+it at ~15 MB/s on a v5e; this kernel reaches ~32 MB/s device-resident
+(7x the int-domain Pallas sweep in ops/pallas_match.py).
+
+Layout: words are packed COLUMN-MAJOR into (RR, 128) tiles — word
+``w = c * RR + r`` lives at element (r, c) — so the per-distance one-word
+plane shift is a cheap sublane concatenation plus a single-row lane roll,
+instead of a whole-array cross-lane roll (measured 1.4x faster; lane
+shuffles are the expensive VPU op).  The stripe-wrap semantics of the
+strided bit layout (bitplane.py) are preserved: the word wrapping off the
+plane's end moves up one stripe (``<< 1`` at element (0, 0)); run-mask
+shifts move wrapped words down one stripe (logical ``>> 1``).
+
+Outputs (found masks + distance bit-planes) are unpacked to (L, O) by the
+shared extraction in ops/bitplane.py, so results stay bit-exact with every
+other matcher (tested in interpret mode and on hardware).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import spec
+from . import bitplane
+
+LANES = 128
+
+
+def _rot_src(x: jnp.ndarray) -> jnp.ndarray:
+    """One-word forward rotate (bit at position - 1), column-major words.
+
+    y[r, c] = x[r-1, c]; row 0 takes the previous column of the last row;
+    the word wrapping off the plane end (element (0, 0)) moves UP one
+    stripe (``<< 1``).
+    """
+    last = x[..., -1:, :]
+    row0 = pltpu.roll(last, 1, x.ndim - 1)  # [c] = last[c - 1]
+    lane = lax.broadcasted_iota(jnp.int32, row0.shape, x.ndim - 1)
+    row0 = jnp.where(lane == 0, row0 << 1, row0)
+    return jnp.concatenate([row0, x[..., :-1, :]], axis=-2)
+
+
+def _rot_pos(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Bit at (position + k), static 0 < k < RR, column-major words.
+
+    y[r, c] = x[r+k, c]; the k wrapped rows take the next column and the
+    words wrapping off the plane end move DOWN a stripe (logical ``>> 1``).
+    """
+    head = x[..., :k, :]
+    rolled = pltpu.roll(head, LANES - 1, x.ndim - 1)  # [c] = head[c + 1]
+    lane = lax.broadcasted_iota(jnp.int32, rolled.shape, x.ndim - 1)
+    rolled = jnp.where(
+        lane == LANES - 1, lax.shift_right_logical(rolled, jnp.int32(1)),
+        rolled,
+    )
+    return jnp.concatenate([x[..., k:, :], rolled], axis=-2)
+
+
+def _kernel(
+    planes_ref,  # (1, 9, RR, 128) int32: 8 bit-planes + validity
+    found_out,   # (1, depth, RR, 128) int32
+    dp_out,      # (1, dbits * depth, RR, 128) int32
+    sp_scr,      # (9, RR, 128)
+    m_scr,       # (depth, RR, 128)
+    *,
+    depth: int,
+    dlim: int,
+    dbits: int,
+    n_windows: int,
+):
+    P = planes_ref[0]
+    sp_scr[...] = P
+    found_out[...] = jnp.zeros_like(found_out)
+    dp_out[...] = jnp.zeros_like(dp_out)
+
+    def window(widx, _):
+        base = widx * 32
+        fstart = found_out[0]
+        win = None
+        for i in range(32):
+            spn = _rot_src(sp_scr[...])
+            sp_scr[...] = spn
+            acc = spn[0] ^ P[0]
+            for b in range(1, 8):
+                acc = acc | (spn[b] ^ P[b])
+            eq = ~acc & spn[8]
+            d = base + i + 1
+            eq = jnp.where(d <= dlim, eq, 0)
+            m_scr[0] = eq
+            m = eq
+            for k in range(1, depth):
+                m = m & _rot_pos(eq, k)
+                m_scr[k] = m
+            newly = m_scr[...] & ~found_out[0]
+            if i == 31:
+                # snapshot BEFORE i=31's update: d = base+32's high bits are
+                # folded separately below, not with the window's.
+                win = found_out[0] & ~fstart
+            found_out[0] = found_out[0] | newly
+            if i < 31:
+                for b in range(5):  # d's low 5 bits are (i+1): static
+                    if ((i + 1) >> b) & 1:
+                        s = b * depth
+                        dp_out[0, s : s + depth] = (
+                            dp_out[0, s : s + depth] | newly
+                        )
+            else:
+                # d = base + 32 has zero low bits; fold its high bits now.
+                for b in range(5, dbits):
+                    hot = ((base + 32) >> b) & 1
+                    s = b * depth
+                    dp_out[0, s : s + depth] = jnp.where(
+                        hot != 0,
+                        dp_out[0, s : s + depth] | newly,
+                        dp_out[0, s : s + depth],
+                    )
+        # newly-found over d in [base+1, base+31]: found diff vs the window
+        # start snapshot, taken before i=31 (whose bits were folded above).
+        for b in range(5, dbits):
+            hot = (base >> b) & 1
+            s = b * depth
+            dp_out[0, s : s + depth] = jnp.where(
+                hot != 0,
+                dp_out[0, s : s + depth] | win,
+                dp_out[0, s : s + depth],
+            )
+        return 0
+
+    lax.fori_loop(0, n_windows, window, 0)
+
+
+def find_matches_bitplane_pallas(
+    block: jnp.ndarray,
+    halo: jnp.ndarray,
+    right: jnp.ndarray,
+    avail: jnp.ndarray,
+    valid_ext: jnp.ndarray,
+    *,
+    la: int,
+    sb: int,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as ``ops.match.find_matches_brute`` (Pallas bit-plane)."""
+    B = block.shape[0]
+    depth = spec.len_limit(la)
+    dlim = spec.d_limit(sb)
+    if dlim == 0 or depth == 0:
+        z = jnp.zeros((B,), jnp.int32)
+        return z, z
+    H = halo.shape[0]
+    if H != dlim:
+        raise ValueError(
+            f"bitplane matcher requires halo size == d_limit ({dlim}), got {H}"
+        )
+    R = right.shape[0]
+    if depth > 33:
+        raise ValueError("bitplane matcher supports la <= 33")
+
+    n_real = H + B + R
+    nw = -(-n_real // 32)
+    nw += (-nw) % LANES
+    n_tot = 32 * nw
+    rr = nw // LANES
+    if rr <= depth:
+        # Too few word-rows for the run-mask row shifts (tiny block or
+        # window): the XLA bit-plane handles these shapes fine.
+        return bitplane.find_matches_bitplane(
+            block, halo, right, avail, valid_ext, la=la, sb=sb
+        )
+
+    buf = jnp.concatenate(
+        [halo, block, right, jnp.zeros((n_tot - n_real,), jnp.uint8)]
+    )
+    planes = bitplane._to_planes(buf, nw)  # (8, nw) flat word order
+    pos = (
+        jnp.arange(32, dtype=jnp.int32)[:, None] * nw
+        + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    )
+    vplane = bitplane._pack_mask((pos >= H - avail) & (pos < H + valid_ext))
+    pv = jnp.concatenate([planes, vplane[None, :]], axis=0)  # (9, nw)
+    # column-major word layout: word c*RR + r at element (r, c)
+    pv_cm = pv.reshape(1, 9, LANES, rr).transpose(0, 1, 3, 2)
+
+    dbits = max(dlim.bit_length(), 6)
+    n_windows = -(-dlim // 32)
+
+    kernel = functools.partial(
+        _kernel, depth=depth, dlim=dlim, dbits=dbits, n_windows=n_windows
+    )
+    found, dp = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 9, rr, LANES), lambda j: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, depth, rr, LANES), lambda j: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, dbits * depth, rr, LANES), lambda j: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, depth, rr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, dbits * depth, rr, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((9, rr, LANES), jnp.int32),
+            pltpu.VMEM((depth, rr, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pv_cm)
+
+    # back to flat word order for the shared extraction
+    found = found.reshape(depth, rr, LANES).transpose(0, 2, 1).reshape(
+        depth, nw
+    )
+    dp = dp.reshape(dbits, depth, rr, LANES).transpose(0, 1, 3, 2).reshape(
+        dbits, depth, nw
+    )
+    return bitplane._extract(
+        found, dp, nw=nw, depth=depth, dbits=dbits, H=H, B=B,
+        valid_ext=valid_ext, pos=pos,
+    )
