@@ -28,10 +28,30 @@ _lib = None
 
 def _build() -> None:
     subprocess.run(
-        ["g++", "-O3", "-Wall", "-shared", "-fPIC", "-o", _LIB, _SRC],
+        ["g++", "-O3", "-Wall", "-pthread", "-shared", "-fPIC",
+         "-o", _LIB, _SRC],
         check=True,
         capture_output=True,
     )
+
+
+_CLI_SRC = os.path.join(_ROOT, "native", "lz77cli.cpp")
+_CLI_BIN = os.path.join(_ROOT, "native", "lz77_native")
+
+
+def build_cli() -> str:
+    """Build (if stale) and return the path of the standalone native CLI."""
+    with _lock:
+        srcs = [_CLI_SRC, _SRC]
+        if not os.path.exists(_CLI_BIN) or any(
+            os.path.getmtime(s) > os.path.getmtime(_CLI_BIN) for s in srcs
+        ):
+            subprocess.run(
+                ["g++", "-O3", "-Wall", "-pthread", "-o", _CLI_BIN] + srcs,
+                check=True,
+                capture_output=True,
+            )
+        return _CLI_BIN
 
 
 def load():

@@ -87,3 +87,35 @@ def test_native_mt_never_resync_inputs(rng):
         serial = native.encode(data, threads=1)
         assert native.encode(data, threads=2, block_size=1 << 16) == serial
         assert native.decode(serial) == data
+
+
+def test_native_cli_binary(tmp_path, rng, oracle):
+    """The standalone C++ CLI: roundtrip + stream identity + C interop."""
+    import subprocess
+
+    from conftest import make_text
+
+    cli = native.build_cli()
+    data = make_text(rng, 300_000)
+    inp = tmp_path / "in.bin"
+    inp.write_bytes(data)
+    enc = tmp_path / "out.lz"
+    dec = tmp_path / "round.bin"
+    subprocess.run([cli, "-c", "-i", str(inp), "-o", str(enc)], check=True)
+    subprocess.run([cli, "-d", "-i", str(enc), "-o", str(dec)], check=True)
+    assert dec.read_bytes() == data
+    # identical stream to the library encoder, and the C oracle decodes it
+    assert enc.read_bytes() == native.encode(data)
+    assert oracle.decode(enc.read_bytes()) == data
+    # degenerate -s rejected without -f, accepted (safely) with it
+    r = subprocess.run(
+        [cli, "-c", "-i", str(inp), "-o", str(enc), "-s", "1024"],
+        capture_output=True,
+    )
+    assert r.returncode != 0
+    subprocess.run(
+        [cli, "-c", "-i", str(inp), "-o", str(enc), "-s", "1024", "-f"],
+        check=True,
+    )
+    subprocess.run([cli, "-d", "-i", str(enc), "-o", str(dec)], check=True)
+    assert dec.read_bytes() == data
