@@ -87,7 +87,7 @@ def measure_tpu(size_mb: int) -> dict | None:
 
     params = spec.Params()
     data = make_text(size_mb << 20)
-    kw = dict(block_size=1 << 16, batch_blocks=16, matcher="pallas_bitplane")
+    kw = dict(block_size=1 << 16, batch_blocks=32, matcher="pallas_bitplane")
     r = run_suite(
         lambda d: codec.encode_bytes(d, params, **kw),
         codec.decode_bytes,
