@@ -30,7 +30,7 @@ import numpy as np
 BASELINE_ENCODE_TEXT = 3.78  # MB/s, BASELINE.md (reference, 1 CPU core)
 BASELINE_DECODE_TEXT = 10.15
 BASELINE_ENCODE_RUNS = 0.08
-TPU_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_TPU_TIMEOUT", "540"))
+TPU_ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_TPU_TIMEOUT", "780"))
 
 
 def make_text(n: int) -> bytes:
@@ -178,6 +178,9 @@ def main() -> int:
         print("CHILD_RESULT " + json.dumps(r))
         return 0
 
+    # Native first: it is quick and guarantees a result even if the TPU
+    # attempt stalls in the tunnel and must be killed.
+    native = measure_native(size_mb)
     tpu = None
     if os.environ.get("BENCH_BACKEND", "jax") == "jax":
         env = dict(os.environ, BENCH_TPU_CHILD="1")
@@ -192,7 +195,6 @@ def main() -> int:
                     tpu = json.loads(line[len("CHILD_RESULT "):])
         except subprocess.TimeoutExpired:
             pass
-    native = measure_native(size_mb)
     if native is None and tpu is None:
         print(json.dumps({"metric": "encode_text_mb_s", "value": 0.0,
                           "unit": "MB/s", "vs_baseline": 0.0,
