@@ -19,4 +19,45 @@ from .spec import Params
 
 __version__ = "0.1.0"
 
-__all__ = ["spec", "Params", "__version__"]
+
+def compress(
+    data: bytes,
+    la: int = spec.DEFAULT_LA_SIZE,
+    sb: int = spec.DEFAULT_SB_SIZE,
+    *,
+    backend: str = "auto",
+    **kwargs,
+) -> bytes:
+    """One-call encode to a complete reference-format stream.
+
+    ``backend``: "native" (parallel C++ host encoder), "jax" (device block
+    pipeline; kwargs: block_size, batch_blocks, matcher), "numpy"
+    (executable spec), or "auto" (native if built, else jax).  All backends
+    emit byte-identical streams.
+    """
+    params = Params(la=la, sb=sb)
+    if backend == "auto":
+        from . import native as _native
+
+        backend = "native" if _native.available() else "jax"
+    if backend == "native":
+        from . import native as _native
+
+        return _native.encode(data, params, **kwargs)
+    if backend == "numpy":
+        from .models import spec_np
+
+        return spec_np.encode(data, params)
+    from .models import codec
+
+    return codec.encode_bytes(data, params, **kwargs)
+
+
+def decompress(data: bytes, *, backend: str = "auto") -> bytes:
+    """One-call decode of a reference-format stream (self-describing)."""
+    from .models import codec
+
+    return codec.decode_bytes(data, backend=backend)
+
+
+__all__ = ["spec", "Params", "compress", "decompress", "__version__"]

@@ -324,19 +324,33 @@ def encode_file(
     from ..utils import manifest as manifest_lib
 
     params = params or spec.Params()
-    with open(in_path, "rb") as f:
-        data = f.read()
-    x = np.frombuffer(data, dtype=np.uint8)
-    n = x.shape[0]
+    # Memory-map the input: blocks are read on demand through OS paging, so
+    # inputs far larger than RAM stream through the block pipeline.
+    n = os.path.getsize(in_path)
+    x = (
+        np.memmap(in_path, dtype=np.uint8, mode="r")
+        if n
+        else np.zeros(0, np.uint8)
+    )
     st = stats if stats is not None else EncodeStats()
     st.input_bytes = n
 
     if manifest_path is None:
-        stream = encode_bytes(
-            data, params, block_size=block_size, batch_blocks=batch_blocks,
-            matcher=matcher, stats=st, retries=retries,
-            fault_injector=fault_injector,
-        )
+        chunks: list[np.ndarray] = []
+        total_tokens = 0
+        if n > 0:
+            for _, _, _, c, chunk in iter_block_bits(
+                x, params, block_size=block_size, batch_blocks=batch_blocks,
+                matcher=matcher, retries=retries,
+                fault_injector=fault_injector, phases=st.phases,
+            ):
+                total_tokens += c
+                if chunk.shape[0]:
+                    chunks.append(chunk)
+        st.tokens = total_tokens
+        st.blocks = -(-n // block_size)
+        stream = bitio.assemble_stream(chunks, params)
+        st.output_bytes = len(stream)
         with open(out_path, "wb") as f:
             f.write(stream)
         return
