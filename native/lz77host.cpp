@@ -67,6 +67,13 @@ struct BitReader {
   // Returns false when fewer than `width` bits remain (EOF rule: a trailing
   // sub-token span is padding, never a token — lz77.c:266-280).
   inline bool get(int width, uint32_t* value) {
+    if (nbits < width && end - p >= 4) {  // bulk refill: 32 bits at once
+      uint32_t w32;
+      std::memcpy(&w32, p, 4);
+      acc |= static_cast<uint64_t>(w32) << nbits;
+      p += 4;
+      nbits += 32;
+    }
     while (nbits < width) {
       if (p == end) return false;
       acc |= static_cast<uint64_t>(*p++) << nbits;
@@ -529,11 +536,12 @@ int64_t lz77_decode_bound(const uint8_t* in, int64_t n) {
   if (la < 2 || sb < 1) return -3;
   const int off_bits = bitof(static_cast<int>(sb));
   const int len_bits = bitof(static_cast<int>(la));
+  const int width = off_bits + len_bits + 8;
+  const uint32_t len_mask = len_bits ? ((1u << len_bits) - 1u) : 0u;
   int64_t total = 0;
-  uint32_t off, len, next;
-  while (br.get(off_bits, &off) && br.get(len_bits, &len) &&
-         br.get(8, &next)) {
-    total += static_cast<int64_t>(len) + 1;
+  uint32_t tok;
+  while (br.get(width, &tok)) {
+    total += static_cast<int64_t>((tok >> off_bits) & len_mask) + 1;
   }
   return total;
 }
@@ -547,10 +555,16 @@ int64_t lz77_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
   if (la < 2 || sb < 1) return -3;
   const int off_bits = bitof(static_cast<int>(sb));
   const int len_bits = bitof(static_cast<int>(la));
+  const int width = off_bits + len_bits + 8;
+  const uint32_t off_mask = off_bits ? ((1u << off_bits) - 1u) : 0u;
+  const uint32_t len_mask = len_bits ? ((1u << len_bits) - 1u) : 0u;
   int64_t w = 0;
-  uint32_t off, len, next;
-  while (br.get(off_bits, &off) && br.get(len_bits, &len) &&
-         br.get(8, &next)) {
+  uint32_t tok, off, len, next;
+  // One bit-read per token (width <= 31: off <= 16, len <= 8, next 8 bits).
+  while (br.get(width, &tok)) {
+    off = tok & off_mask;
+    len = (tok >> off_bits) & len_mask;
+    next = (tok >> (off_bits + len_bits)) & 0xFFu;
     if (w + static_cast<int64_t>(len) + 1 > cap) return -2;
     if (len > 0) {
       if (off == 0 || static_cast<int64_t>(off) > w) return -4;  // corrupt
@@ -620,13 +634,16 @@ int64_t lz77_unpack_tokens(const uint8_t* payload, int64_t nbytes, int la,
   if (la < 2 || la > 255 || sb < 1 || sb > 65535) return -1;
   const int off_bits = bitof(sb);
   const int len_bits = bitof(la);
+  const int width = off_bits + len_bits + 8;
+  const uint32_t off_mask = off_bits ? ((1u << off_bits) - 1u) : 0u;
+  const uint32_t len_mask = len_bits ? ((1u << len_bits) - 1u) : 0u;
   BitReader br(payload, nbytes);
   int64_t c = 0;
-  uint32_t o, l, nx;
-  while (br.get(off_bits, &o) && br.get(len_bits, &l) && br.get(8, &nx)) {
-    off[c] = static_cast<int32_t>(o);
-    len[c] = static_cast<uint8_t>(l);
-    next[c] = static_cast<uint8_t>(nx);
+  uint32_t tok;
+  while (br.get(width, &tok)) {
+    off[c] = static_cast<int32_t>(tok & off_mask);
+    len[c] = static_cast<uint8_t>((tok >> off_bits) & len_mask);
+    next[c] = static_cast<uint8_t>((tok >> (off_bits + len_bits)) & 0xFFu);
     ++c;
   }
   return c;
