@@ -5,8 +5,8 @@ shifts per distance, prefix-AND run masks, first-touch distance-bit
 recording — but with every piece of sweep state (shifted planes, found
 masks, distance planes) resident in VMEM scratch.  The XLA formulation
 materialises its carried state to HBM at every fusion boundary, which caps
-it at ~15 MB/s on a v5e; this kernel reaches ~32 MB/s device-resident
-(7x the int-domain Pallas sweep in ops/pallas_match.py).
+it at ~15 MB/s on a v5e; this kernel reaches ~25-30 MB/s device-resident
+(~7x the int-domain Pallas sweep in ops/pallas_match.py).
 
 Layout: words are packed COLUMN-MAJOR into (RR, 128) tiles — word
 ``w = c * RR + r`` lives at element (r, c) — so the per-distance one-word
@@ -17,9 +17,14 @@ strided bit layout (bitplane.py) are preserved: the word wrapping off the
 plane's end moves up one stripe (``<< 1`` at element (0, 0)); run-mask
 shifts move wrapped words down one stripe (logical ``>> 1``).
 
-Outputs (found masks + distance bit-planes) are unpacked to (L, O) by the
-shared extraction in ops/bitplane.py, so results stay bit-exact with every
-other matcher (tested in interpret mode and on hardware).
+Extraction (found masks + distance planes -> per-position L, O) runs INSIDE
+the kernel: the lookahead-shrinkage cap is applied with threshold bitmasks,
+the k = L distance planes are selected in the bit domain
+(``mask_k = capped_found_k & ~capped_found_{k+1}`` — found is monotone in
+k), and a 32-iteration unpack loop writes (L, O) int32 rows directly, so
+the sweep's 1.7 MB of bit-state per block never leaves VMEM.  Results are
+bit-exact with every other matcher (tested in interpret mode and on
+hardware).
 """
 
 from __future__ import annotations
@@ -69,25 +74,32 @@ def _rot_pos(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
 
 def _kernel(
+    scal_ref,    # (1,) int32 prefetch: valid_ext
     planes_ref,  # (1, 9, RR, 128) int32: 8 bit-planes + validity
-    found_out,   # (1, depth, RR, 128) int32
-    dp_out,      # (1, dbits * depth, RR, 128) int32
+    l_out,       # (1, 32, RR, 128) int32: L per position, strided rows
+    o_out,       # (1, 32, RR, 128) int32: O per position, strided rows
     sp_scr,      # (9, RR, 128)
-    m_scr,       # (depth, RR, 128)
+    m_scr,       # (depth, RR, 128): run masks, then capped found masks
+    found_scr,   # (depth, RR, 128)
+    dp_scr,      # (dbits * depth, RR, 128)
+    dsel_scr,    # (dbits, RR, 128)
     *,
     depth: int,
     dlim: int,
     dbits: int,
     n_windows: int,
+    H: int,
+    nw: int,
+    rr: int,
 ):
     P = planes_ref[0]
     sp_scr[...] = P
-    found_out[...] = jnp.zeros_like(found_out)
-    dp_out[...] = jnp.zeros_like(dp_out)
+    found_scr[...] = jnp.zeros_like(found_scr)
+    dp_scr[...] = jnp.zeros_like(dp_scr)
 
     def window(widx, _):
         base = widx * 32
-        fstart = found_out[0]
+        fstart = found_scr[...]
         win = None
         for i in range(32):
             spn = _rot_src(sp_scr[...])
@@ -103,42 +115,87 @@ def _kernel(
             for k in range(1, depth):
                 m = m & _rot_pos(eq, k)
                 m_scr[k] = m
-            newly = m_scr[...] & ~found_out[0]
+            newly = m_scr[...] & ~found_scr[...]
             if i == 31:
                 # snapshot BEFORE i=31's update: d = base+32's high bits are
                 # folded separately below, not with the window's.
-                win = found_out[0] & ~fstart
-            found_out[0] = found_out[0] | newly
+                win = found_scr[...] & ~fstart
+            found_scr[...] = found_scr[...] | newly
             if i < 31:
                 for b in range(5):  # d's low 5 bits are (i+1): static
                     if ((i + 1) >> b) & 1:
                         s = b * depth
-                        dp_out[0, s : s + depth] = (
-                            dp_out[0, s : s + depth] | newly
-                        )
+                        dp_scr[s : s + depth] = dp_scr[s : s + depth] | newly
             else:
                 # d = base + 32 has zero low bits; fold its high bits now.
                 for b in range(5, dbits):
                     hot = ((base + 32) >> b) & 1
                     s = b * depth
-                    dp_out[0, s : s + depth] = jnp.where(
-                        hot != 0,
-                        dp_out[0, s : s + depth] | newly,
-                        dp_out[0, s : s + depth],
+                    dp_scr[s : s + depth] = jnp.where(
+                        hot != 0, dp_scr[s : s + depth] | newly,
+                        dp_scr[s : s + depth],
                     )
         # newly-found over d in [base+1, base+31]: found diff vs the window
         # start snapshot, taken before i=31 (whose bits were folded above).
         for b in range(5, dbits):
             hot = (base >> b) & 1
             s = b * depth
-            dp_out[0, s : s + depth] = jnp.where(
-                hot != 0,
-                dp_out[0, s : s + depth] | win,
-                dp_out[0, s : s + depth],
+            dp_scr[s : s + depth] = jnp.where(
+                hot != 0, dp_scr[s : s + depth] | win, dp_scr[s : s + depth]
             )
         return 0
 
     lax.fori_loop(0, n_windows, window, 0)
+
+    # ---- in-kernel extraction --------------------------------------------
+    ve = scal_ref[0]
+    row = lax.broadcasted_iota(jnp.int32, (rr, LANES), 0)
+    col = lax.broadcasted_iota(jnp.int32, (rr, LANES), 1)
+    w = col * rr + row  # word index of each element
+
+    # Threshold mask M(T): bit j of word w set iff position w + j*nw < T.
+    def thresh_mask(T):
+        def jbody(j, acc):
+            return acc | (jnp.where(w < T - j * nw, 1, 0) << j)
+        return lax.fori_loop(0, 32, jbody, jnp.zeros((rr, LANES), jnp.int32))
+
+    def clear_bit(mask, t):
+        # clear the single bit at position t (no-op when t < 0)
+        tc = jnp.maximum(t, 0)
+        j = tc // nw
+        wt = tc - j * nw
+        hot = (w == wt) & (t >= 0)
+        return mask & ~(jnp.where(hot, 1, 0) << j)
+
+    # capped found: found_k & (cap >= k), cap >= k <=> position < H + ve - k.
+    T = H + ve
+    mk = thresh_mask(T - 1)
+    for k in range(depth):  # k-th entry = length k+1
+        m_scr[k] = found_scr[k] & mk
+        mk = clear_bit(mk, T - k - 2)
+
+    # selection planes: mask_k picks positions whose capped L == k+1
+    # (capped found is monotone in k), OR-combined over the distance planes.
+    for b in range(dbits):
+        acc = jnp.zeros((rr, LANES), jnp.int32)
+        for k in range(depth):
+            nxt = m_scr[k + 1] if k + 1 < depth else jnp.zeros(
+                (rr, LANES), jnp.int32
+            )
+            acc = acc | (m_scr[k] & ~nxt & dp_scr[b * depth + k])
+        dsel_scr[b] = acc
+
+    def unpack(j, _):
+        cf = m_scr[...]
+        l = ((cf >> j) & 1).sum(axis=0)
+        dv = (dsel_scr[0] >> j) & 1
+        for b in range(1, dbits):
+            dv = dv | (((dsel_scr[b] >> j) & 1) << b)
+        l_out[0, pl.ds(j, 1)] = l[None]
+        o_out[0, pl.ds(j, 1)] = jnp.where(l > 0, dv, 0)[None]
+        return 0
+
+    lax.fori_loop(0, 32, unpack, 0)
 
 
 def find_matches_bitplane_pallas(
@@ -197,46 +254,48 @@ def find_matches_bitplane_pallas(
     n_windows = -(-dlim // 32)
 
     kernel = functools.partial(
-        _kernel, depth=depth, dlim=dlim, dbits=dbits, n_windows=n_windows
+        _kernel, depth=depth, dlim=dlim, dbits=dbits, n_windows=n_windows,
+        H=H, nw=nw, rr=rr,
     )
-    found, dp = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
             pl.BlockSpec(
-                (1, 9, rr, LANES), lambda j: (0, 0, 0, 0),
+                (1, 9, rr, LANES), lambda j, *_: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, depth, rr, LANES), lambda j: (0, 0, 0, 0),
+                (1, 32, rr, LANES), lambda j, *_: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, dbits * depth, rr, LANES), lambda j: (0, 0, 0, 0),
+                (1, 32, rr, LANES), lambda j, *_: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, depth, rr, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((1, dbits * depth, rr, LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((9, rr, LANES), jnp.int32),
             pltpu.VMEM((depth, rr, LANES), jnp.int32),
+            pltpu.VMEM((depth, rr, LANES), jnp.int32),
+            pltpu.VMEM((dbits * depth, rr, LANES), jnp.int32),
+            pltpu.VMEM((dbits, rr, LANES), jnp.int32),
+        ],
+    )
+    scal = jnp.asarray(valid_ext, jnp.int32).reshape(1)
+    l_cm, o_cm = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 32, rr, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((1, 32, rr, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(pv_cm)
+    )(scal, pv_cm)
 
-    # back to flat word order for the shared extraction
-    found = found.reshape(depth, rr, LANES).transpose(0, 2, 1).reshape(
-        depth, nw
-    )
-    dp = dp.reshape(dbits, depth, rr, LANES).transpose(0, 1, 3, 2).reshape(
-        dbits, depth, nw
-    )
-    return bitplane._extract(
-        found, dp, nw=nw, depth=depth, dbits=dbits, H=H, B=B,
-        valid_ext=valid_ext, pos=pos,
-    )
+    # element (j, r, c) = position c*rr + r + j*nw -> flat strided order
+    L = l_cm.reshape(32, rr, LANES).transpose(0, 2, 1).reshape(-1)[H : H + B]
+    O = o_cm.reshape(32, rr, LANES).transpose(0, 2, 1).reshape(-1)[H : H + B]
+    return L, O
