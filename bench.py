@@ -85,9 +85,12 @@ def measure_tpu(size_mb: int) -> dict | None:
     from lz77_tpu import spec
     from lz77_tpu.models import codec, encoder
 
+    from lz77_tpu.ops import pallas_bitplane
+
     params = spec.Params()
     data = make_text(size_mb << 20)
-    kw = dict(block_size=1 << 16, batch_blocks=32, matcher="pallas_bitplane")
+    B = pallas_bitplane.preferred_block_size(params.la, params.sb)
+    kw = dict(block_size=B, batch_blocks=16, matcher="pallas_bitplane")
     r = run_suite(
         lambda d: codec.encode_bytes(d, params, **kw),
         codec.decode_bytes,
@@ -99,8 +102,12 @@ def measure_tpu(size_mb: int) -> dict | None:
 
     # Device-resident match-kernel throughput: the number that carries to a
     # production deployment, where host<->device moves at PCIe/DMA speed
-    # rather than through this environment's network tunnel (~45 MB/s).
-    B, G = 1 << 16, 16
+    # rather than through this environment's network tunnel (~45 MB/s,
+    # ~22 ms fixed dispatch+fetch latency).  Timed by slope — the extra
+    # time of 5 chained dispatches over 1 — so the fixed tunnel latency
+    # cancels; a reduced device-to-host fetch is the completion barrier
+    # (block_until_ready does not wait through the tunnel).
+    G = max(1, ((size_mb << 20) // 2) // B)
     x = np.frombuffer(data[: G * B], np.uint8).reshape(G, B)
     args = [
         jax.device_put(jnp.asarray(x)),
@@ -109,19 +116,29 @@ def measure_tpu(size_mb: int) -> dict | None:
         jax.device_put(jnp.zeros((G,), jnp.int32)),
         jax.device_put(jnp.full((G,), B, jnp.int32)),
     ]
-    f = jax.jit(functools.partial(
-        encoder.match_blocks_compact,
-        la=params.la, sb=params.sb, matcher="pallas_bitplane",
-    ))
-    # Force full completion with a reduced fetch (async dispatch through the
-    # tunnel makes block_until_ready unreliable as a timing barrier).
-    np.asarray(jnp.sum(f(*args)[0].astype(jnp.int32)))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(jnp.sum(f(*args)[0].astype(jnp.int32)))
-        best = min(best, time.perf_counter() - t0)
-    r["device_match_mb_s"] = G * B / best / 1e6
+    f = jax.jit(
+        lambda *a: jnp.sum(
+            functools.partial(
+                encoder.match_blocks_compact,
+                la=params.la, sb=params.sb, matcher="pallas_bitplane",
+            )(*a)[0].astype(jnp.int32)
+        )
+    )
+    np.asarray(f(*args))
+
+    def t_of(k: int) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(k):
+                acc = f(*args)
+            np.asarray(acc)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t5 = t_of(1), t_of(5)
+    r["device_match_mb_s"] = G * B / ((t5 - t1) / 4) / 1e6
     return r
 
 

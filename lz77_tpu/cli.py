@@ -124,11 +124,7 @@ def main(argv: list[str] | None = None) -> int:
         from .models import codec
 
         stats = codec.EncodeStats()
-        kwargs = {}
-        if args.block_size:
-            kwargs["block_size"] = args.block_size
-        if args.batch_blocks:
-            kwargs["batch_blocks"] = args.batch_blocks
+        kwargs = _block_kwargs(args, params)
         codec.encode_file(
             args.input[0], args.output[0], params, matcher=args.matcher,
             stats=stats, manifest_path=args.manifest, resume=args.resume,
@@ -177,6 +173,27 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _block_kwargs(args, params: spec.Params) -> dict:
+    """Encoder batching knobs (never affect the stream format).
+
+    Without an explicit --block-size, the pallas_bitplane matcher gets its
+    tile-exact preferred geometry (~124 KiB at defaults) — measured 1.8x
+    the naive 64 KiB block on v5e.
+    """
+    kwargs = {}
+    if args.block_size:
+        kwargs["block_size"] = args.block_size
+    elif args.matcher == "pallas_bitplane":
+        from .ops import pallas_bitplane
+
+        kwargs["block_size"] = pallas_bitplane.preferred_block_size(
+            params.la, params.sb
+        )
+    if args.batch_blocks:
+        kwargs["batch_blocks"] = args.batch_blocks
+    return kwargs
+
+
 def _encode(data: bytes, params: spec.Params, args):
     if args.backend == "numpy":
         from .models import spec_np
@@ -192,11 +209,7 @@ def _encode(data: bytes, params: spec.Params, args):
     from .models import codec
 
     stats = codec.EncodeStats()
-    kwargs = {}
-    if args.block_size:
-        kwargs["block_size"] = args.block_size
-    if args.batch_blocks:
-        kwargs["batch_blocks"] = args.batch_blocks
+    kwargs = _block_kwargs(args, params)
     out = codec.encode_bytes(
         data, params, matcher=args.matcher, stats=stats, **kwargs
     )

@@ -43,6 +43,29 @@ from . import bitplane
 LANES = 128
 
 
+def preferred_block_size(
+    la: int | None = None, sb: int | None = None, *, rows: int = 32
+) -> int:
+    """Block size whose bit-plane geometry exactly fills ``rows`` word-rows.
+
+    Mosaic processes int32 planes in (8, 128) sublane x lane tiles, so a
+    plane of ``rr`` word-rows costs ``ceil(rr / 8) * 8`` rows of vector
+    work: an ``rr`` that is not a multiple of 8 wastes up to a third of
+    every op (the default 64 KiB block gives rr = 20, padded to 24).
+    Choosing ``B = rows * 4096 - (d_limit + len_limit)`` makes the block +
+    halo + right extension fill the (rows, 128) word grid exactly.
+    Measured on v5e at reference defaults: 170 MB/s device-resident at
+    rows=32 vs 93 MB/s at the naive 64 KiB block (rows=24 is within 3%;
+    rows=64 regresses ~20%).
+    """
+    la = spec.DEFAULT_LA_SIZE if la is None else la
+    sb = spec.DEFAULT_SB_SIZE if sb is None else sb
+    depth = spec.len_limit(la)
+    rr = max(rows, ((depth + 8) // 8) * 8)  # kernel needs rr > depth
+    b = rr * 32 * LANES - (spec.d_limit(sb) + depth)
+    return max(2, b - (b % 2))  # codec packs length nibbles in pairs
+
+
 def _rot_src(x: jnp.ndarray) -> jnp.ndarray:
     """One-word forward rotate (bit at position - 1), column-major words.
 

@@ -95,3 +95,19 @@ def test_bitplane_text_encode_stream_identical(rng):
     )
     assert s_bit == s_chk
     assert codec.decode_bytes(s_bit) == data
+
+
+def test_preferred_block_size_geometry():
+    """Tile-exact geometry: rr multiple of 8, rr > depth, even B."""
+    for la, sb in [(15, 4095), (2, 65535), (33, 1023), (255, 4095), (15, 2)]:
+        B = pallas_bitplane.preferred_block_size(la, sb)
+        assert B > 0 and B % 2 == 0
+        depth = spec.len_limit(la)
+        n_real = spec.d_limit(sb) + B + depth
+        nw = -(-n_real // 32)
+        nw += (-nw) % 128
+        rr = nw // 128
+        assert rr % 8 == 0
+        assert rr > depth
+    # defaults fill the 32-row grid exactly
+    assert pallas_bitplane.preferred_block_size() == 32 * 4096 - 4110
