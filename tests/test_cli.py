@@ -85,3 +85,30 @@ def test_report_flag(tmp_path, capsys, rng):
     rep = json.loads(err.strip().splitlines()[-1])
     assert rep["mode"] == "encode"
     assert rep["input_bytes"] == len(data)
+
+
+def test_dump_tool(tmp_path):
+    """python -m lz77_tpu.dump: token-level stream inspection (both modes)."""
+    import io
+    import json as json_mod
+
+    from lz77_tpu import dump as dump_mod
+    from lz77_tpu.models import spec_np
+
+    data = b"abcabcabcabc!"
+    stream = spec_np.encode(data, None)
+    f = tmp_path / "s.lz"
+    f.write_bytes(stream)
+
+    assert dump_mod.main([str(f), "--limit", "2"]) == 0
+    out = io.StringIO()
+    dump_mod.dump(stream, as_json=True, out=out)
+    info = json_mod.loads(out.getvalue())
+    assert info["sb"] == 4095 and info["la"] == 15
+    assert info["decoded_bytes"] == len(data)
+    assert info["literals"] + info["matches"] == info["tokens"]
+
+    assert dump_mod.main([str(tmp_path / "missing.lz")]) == 1
+    bad = tmp_path / "bad.lz"
+    bad.write_bytes(b"\x01")
+    assert dump_mod.main([str(bad)]) == 1
