@@ -5,8 +5,17 @@ shifts per distance, prefix-AND run masks, first-touch distance-bit
 recording — but with every piece of sweep state (shifted planes, found
 masks, distance planes) resident in VMEM scratch.  The XLA formulation
 materialises its carried state to HBM at every fusion boundary, which caps
-it at ~15 MB/s on a v5e; this kernel reaches ~25-30 MB/s device-resident
-(~7x the int-domain Pallas sweep in ops/pallas_match.py).
+it at ~15 MB/s on a v5e; this kernel reaches ~196 MB/s device-resident at
+the tile-exact ``preferred_block_size`` geometry (slope-timed, see
+bench.py; ~44x the int-domain Pallas sweep in ops/pallas_match.py).
+
+First-touch distance recording is split by bit position of the distance d:
+bits 5+ are window-constant (folded once per 32-distance window from a
+found-mask diff), bits 0-1 of the in-window step are folded directly at
+each step, and bits 2-4 telescope — bit b of the step is constant over
+runs of 2^b consecutive steps and found-masks are monotone, so each run's
+first-touch set is ``found_end & ~found_start`` (7 snapshots + 7 folds per
+window instead of 48 per-step folds; measured 1.15x end to end).
 
 Layout: words are packed COLUMN-MAJOR into (RR, 128) tiles — word
 ``w = c * RR + r`` lives at element (r, c) — so the per-distance one-word
@@ -123,7 +132,7 @@ def _kernel(
     def window(widx, _):
         base = widx * 32
         fstart = found_scr[...]
-        win = None
+        win = snapA = snapB = snapC = None
         for i in range(32):
             spn = _rot_src(sp_scr[...])
             sp_scr[...] = spn
@@ -142,13 +151,46 @@ def _kernel(
             if i == 31:
                 # snapshot BEFORE i=31's update: d = base+32's high bits are
                 # folded separately below, not with the window's.
-                win = found_scr[...] & ~fstart
+                f31 = found_scr[...]
+                win = f31 & ~fstart
+                # telescoped low-bit runs ending at t=31 (see below)
+                for b, snap in ((2, snapA), (3, snapB), (4, snapC)):
+                    s = b * depth
+                    dp_scr[s : s + depth] = dp_scr[s : s + depth] | (
+                        f31 & ~snap
+                    )
             found_scr[...] = found_scr[...] | newly
+            t = i + 1
             if i < 31:
-                for b in range(5):  # d's low 5 bits are (i+1): static
-                    if ((i + 1) >> b) & 1:
+                # Bits 0-1 of the first-touch step t: direct per-step fold
+                # (their runs are too short for snapshot diffs to pay off).
+                for b in range(2):
+                    if (t >> b) & 1:
                         s = b * depth
                         dp_scr[s : s + depth] = dp_scr[s : s + depth] | newly
+                # Bits 2-4: bit b of t is set over runs of 2^b consecutive
+                # steps, and found is monotone, so the run's first-touch
+                # set telescopes to found_end & ~found_start — one snapshot
+                # + one fold per run instead of a fold at every step
+                # (3 x 16 per-step folds -> 7 snapshots + 7 folds).
+                f = None
+                if t in (7, 15, 23):  # ends of bit-2 runs [4,7],[12,15],[20,23]
+                    f = found_scr[...]
+                    s = 2 * depth
+                    dp_scr[s : s + depth] = dp_scr[s : s + depth] | (
+                        f & ~snapA
+                    )
+                if t == 15:  # end of bit-3 run [8,15]
+                    s = 3 * depth
+                    dp_scr[s : s + depth] = dp_scr[s : s + depth] | (
+                        f & ~snapB
+                    )
+                if t in (3, 11, 19, 27):  # bit-2 run starts - 1
+                    snapA = found_scr[...]
+                if t in (7, 23):  # bit-3 run starts - 1
+                    snapB = f
+                if t == 15:  # bit-4 run [16,31] start - 1
+                    snapC = f
             else:
                 # d = base + 32 has zero low bits; fold its high bits now.
                 for b in range(5, dbits):
