@@ -143,6 +143,19 @@ def byte_aligned(params: spec.Params) -> bool:
     return params.width % 8 == 0
 
 
+def header_bytes(params: spec.Params) -> bytes:
+    """The 4-byte stream header: sb then la, 16 LSB-first bits each."""
+    return np.packbits(
+        np.concatenate(
+            [
+                scalar_bits(params.sb, spec.HEADER_FIELD_BITS),
+                scalar_bits(params.la, spec.HEADER_FIELD_BITS),
+            ]
+        ),
+        bitorder="little",
+    ).tobytes()
+
+
 def tokens_to_chunk(
     off: np.ndarray, length: np.ndarray, nxt: np.ndarray, params: spec.Params
 ) -> np.ndarray:
@@ -155,16 +168,7 @@ def tokens_to_chunk(
 def assemble_stream(chunks: list[np.ndarray], params: spec.Params) -> bytes:
     """Header + concatenated per-block payload chunks -> stream bytes."""
     if byte_aligned(params):
-        header = np.packbits(
-            np.concatenate(
-                [
-                    scalar_bits(params.sb, spec.HEADER_FIELD_BITS),
-                    scalar_bits(params.la, spec.HEADER_FIELD_BITS),
-                ]
-            ),
-            bitorder="little",
-        ).tobytes()
-        return header + b"".join(c.tobytes() for c in chunks)
+        return header_bytes(params) + b"".join(c.tobytes() for c in chunks)
     return concat_token_bits(chunks, params)
 
 

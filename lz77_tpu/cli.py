@@ -19,6 +19,31 @@ import time
 
 from . import spec
 
+# Verbatim usage text of the reference (main.c:118-125); printed by -h.
+USAGE_TEXT = (
+    "Usage: lz77 <options>\n"
+    "  -c : Encode input file to output file.\n"
+    "  -d : Decode input file to output file.\n"
+    "  -i <filename> : Name of input file.\n"
+    "  -o <filename> : Name of output file.\n"
+    "  -l <value> : Lookahead size (default 15)\n"
+    "  -s <value> : Search-buffer size (default 4095)\n"
+    "  -h : Command line options.\n\n"
+)
+
+
+class _UsageAction(argparse.Action):
+    """Print usage and KEEP PARSING, like the reference's ``case 'h'`` which
+    ``break``s back into the getopt loop instead of exiting (main.c:117-126).
+    ``lz77 -h`` alone therefore prints usage and then fails validation with
+    "Input file must be provided", exactly like the C binary."""
+
+    def __init__(self, option_strings, dest, **kwargs):
+        super().__init__(option_strings, dest, nargs=0, **kwargs)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        print(USAGE_TEXT, end="")
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -38,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Lookahead size (default 15)")
     p.add_argument("-s", dest="sb", type=int, default=None,
                    help="Search-buffer size (default 4095)")
-    p.add_argument("-h", action="help",
+    p.add_argument("-h", action=_UsageAction,
                    help="Command line options.")
     # TPU-build extensions (out-of-band: never affect the stream format).
     p.add_argument("--block-size", type=int, default=None,
@@ -88,6 +113,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.sb is not None and not (0 <= args.sb <= spec.MAX_SB_SIZE):
         print("Bad search-buffer size value.", file=sys.stderr)
         return 1
+    if not args.input:
+        print("Input file must be provided", file=sys.stderr)
+        return 1
+    if not args.output:
+        print("Output file must be provided", file=sys.stderr)
+        return 1
+    if args.mode is None:
+        print("Select ENCODE or DECODE mode", file=sys.stderr)
+        return 1
+    # Our divergence check runs LAST so every reference-compatible validation
+    # error above fires in the reference's order (main.c:69-139 has no
+    # degenerate-sb concept at all).
     if args.sb is not None and spec.is_degenerate_sb(args.sb):
         if not args.force_sb or args.sb < 1:
             print(
@@ -98,15 +135,6 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 1
-    if not args.input:
-        print("Input file must be provided", file=sys.stderr)
-        return 1
-    if not args.output:
-        print("Output file must be provided", file=sys.stderr)
-        return 1
-    if args.mode is None:
-        print("Select ENCODE or DECODE mode", file=sys.stderr)
-        return 1
 
     la = args.la if args.la is not None else spec.DEFAULT_LA_SIZE
     sb = args.sb if args.sb is not None else spec.DEFAULT_SB_SIZE
@@ -137,6 +165,10 @@ def main(argv: list[str] | None = None) -> int:
                 "seconds": round(dt, 6), "input_bytes": stats.input_bytes,
                 "output_bytes": stats.output_bytes, "tokens": stats.tokens,
                 "blocks": stats.blocks, "ratio": round(stats.ratio, 6),
+                "phases": {
+                    k: round(v, 6)
+                    for k, v in stats.phases.as_dict().items()
+                },
             }), file=sys.stderr)
         return 0
     try:
@@ -148,9 +180,14 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 result, report = _decode(data, args)
     except (ValueError, RuntimeError) as e:
-        # Corrupt/truncated stream or invalid parameters: clean diagnostic,
-        # nonzero exit (the reference perror+exits here, lz77.c:273-277).
-        print(f"Error reading bits: {e}", file=sys.stderr)
+        # Clean diagnostic, nonzero exit.  Decode failures mirror the
+        # reference's stream-error wording (lz77.c:273-277); encode-side
+        # errors (bad parameters, backend limits) get an honest message
+        # instead of a misleading bit-read complaint.
+        if args.mode == "decode":
+            print(f"Error reading bits: {e}", file=sys.stderr)
+        else:
+            print(f"Encode error: {e}", file=sys.stderr)
         return 1
     dt = time.perf_counter() - t0
 
@@ -180,6 +217,9 @@ def _block_kwargs(args, params: spec.Params) -> dict:
     tile-exact preferred geometry (~124 KiB at defaults) — measured 1.8x
     the naive 64 KiB block on v5e.
     """
+    from .ops import match as match_ops
+
+    args.matcher = match_ops.route_matcher(args.matcher, params.la)
     kwargs = {}
     if args.block_size:
         kwargs["block_size"] = args.block_size
@@ -219,6 +259,9 @@ def _encode(data: bytes, params: spec.Params, args):
         "tokens": stats.tokens,
         "blocks": stats.blocks,
         "ratio": round(stats.ratio, 6),
+        "phases": {
+            k: round(v, 6) for k, v in stats.phases.as_dict().items()
+        },
     }
 
 

@@ -142,6 +142,9 @@ def iter_block_bits(
     Failed device batches are retried ``retries`` times (blocks are
     independent up to the scalar entry carry — SURVEY.md §5).
     """
+    from ..ops import match as match_ops
+
+    matcher = match_ops.route_matcher(matcher, params.la)
     n = x.shape[0]
     B = block_size
     if B % 2:
@@ -244,13 +247,14 @@ def iter_block_bits(
 
     pending = None
     for bi in range(first_batch, num_batches):
-        if fault_injector is not None:
-            def submit_checked(b=bi):
-                fault_injector.check(b)
-                return submit(b)
-            nxt = faults_lib.with_retries(submit_checked, retries=retries)
-        else:
-            nxt = faults_lib.with_retries(submit, bi, retries=retries)
+        with metrics_lib.StopwatchPhase(ph, "io"):
+            if fault_injector is not None:
+                def submit_checked(b=bi):
+                    fault_injector.check(b)
+                    return submit(b)
+                nxt = faults_lib.with_retries(submit_checked, retries=retries)
+            else:
+                nxt = faults_lib.with_retries(submit, bi, retries=retries)
         if pending is not None:
             yield from process(pending)
         pending = nxt
@@ -277,22 +281,23 @@ def encode_bytes(
     st = stats if stats is not None else EncodeStats()
     st.input_bytes = n
 
-    chunks: list[np.ndarray] = []
-    total_tokens = 0
-    if n > 0:
-        for _, _, _, c, chunk in iter_block_bits(
-            x, params, block_size=block_size, batch_blocks=batch_blocks,
-            matcher=matcher, match_fn=match_fn, retries=retries,
-            fault_injector=fault_injector, phases=st.phases,
-        ):
-            total_tokens += c
-            if chunk.shape[0]:
-                chunks.append(chunk)
+    with metrics_lib.StopwatchPhase(st.phases, "total"):
+        chunks: list[np.ndarray] = []
+        total_tokens = 0
+        if n > 0:
+            for _, _, _, c, chunk in iter_block_bits(
+                x, params, block_size=block_size, batch_blocks=batch_blocks,
+                matcher=matcher, match_fn=match_fn, retries=retries,
+                fault_injector=fault_injector, phases=st.phases,
+            ):
+                total_tokens += c
+                if chunk.shape[0]:
+                    chunks.append(chunk)
 
-    st.tokens = total_tokens
-    st.blocks = -(-n // block_size)
-    stream = bitio.assemble_stream(chunks, params)
-    st.output_bytes = len(stream)
+        st.tokens = total_tokens
+        st.blocks = -(-n // block_size)
+        stream = bitio.assemble_stream(chunks, params)
+        st.output_bytes = len(stream)
     return stream
 
 
@@ -320,12 +325,16 @@ def encode_file(
     stream is assembled bit-contiguously, then scratch files are removed.
     """
     import os
+    import time as time_lib
 
     from ..utils import manifest as manifest_lib
 
+    _t0 = time_lib.perf_counter()
     params = params or spec.Params()
-    # Memory-map the input: blocks are read on demand through OS paging, so
-    # inputs far larger than RAM stream through the block pipeline.
+    # Memory-map the input and stream the output: blocks are read on demand
+    # through OS paging and each completed block's payload is written to the
+    # output file immediately, so both sides run in bounded memory for inputs
+    # far larger than RAM.
     n = os.path.getsize(in_path)
     x = (
         np.memmap(in_path, dtype=np.uint8, mode="r")
@@ -336,23 +345,44 @@ def encode_file(
     st.input_bytes = n
 
     if manifest_path is None:
-        chunks: list[np.ndarray] = []
         total_tokens = 0
-        if n > 0:
-            for _, _, _, c, chunk in iter_block_bits(
-                x, params, block_size=block_size, batch_blocks=batch_blocks,
-                matcher=matcher, retries=retries,
-                fault_injector=fault_injector, phases=st.phases,
-            ):
-                total_tokens += c
-                if chunk.shape[0]:
-                    chunks.append(chunk)
+        aligned = bitio.byte_aligned(params)
+        out_bytes = spec.HEADER_BYTES
+        with open(out_path, "wb") as f:
+            f.write(bitio.header_bytes(params))
+            rem = np.zeros(0, np.uint8)  # carried sub-byte bits (non-aligned)
+            if n > 0:
+                for _, _, _, c, chunk in iter_block_bits(
+                    x, params, block_size=block_size,
+                    batch_blocks=batch_blocks, matcher=matcher,
+                    retries=retries, fault_injector=fault_injector,
+                    phases=st.phases,
+                ):
+                    total_tokens += c
+                    if not chunk.shape[0]:
+                        continue
+                    if aligned:
+                        f.write(chunk.tobytes())
+                        out_bytes += chunk.shape[0]
+                    else:
+                        bits = np.concatenate([rem, chunk])
+                        whole = (bits.shape[0] // 8) * 8
+                        if whole:
+                            f.write(
+                                np.packbits(
+                                    bits[:whole], bitorder="little"
+                                ).tobytes()
+                            )
+                            out_bytes += whole // 8
+                        rem = bits[whole:]
+            if rem.shape[0]:
+                # Final partial byte, zero-padded (bitIO_close, bitio.c:180-182).
+                f.write(np.packbits(rem, bitorder="little").tobytes())
+                out_bytes += 1
         st.tokens = total_tokens
         st.blocks = -(-n // block_size)
-        stream = bitio.assemble_stream(chunks, params)
-        st.output_bytes = len(stream)
-        with open(out_path, "wb") as f:
-            f.write(stream)
+        st.output_bytes = out_bytes
+        st.phases.total = time_lib.perf_counter() - _t0
         return
 
     scratch_path = out_path + ".partial"
@@ -427,6 +457,7 @@ def encode_file(
     st.tokens = total_tokens
     st.blocks = -(-n // block_size)
     st.output_bytes = len(stream)
+    st.phases.total = time_lib.perf_counter() - _t0
 
 
 def decode_bytes(data: bytes, backend: str = "auto") -> bytes:

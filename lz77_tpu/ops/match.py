@@ -353,6 +353,25 @@ MATCHERS = {
 }
 
 
+def route_matcher(name: str, la: int) -> str:
+    """Capability routing: bit-plane matchers keep their run masks within one
+    32-bit stripe and therefore support ``la <= 33`` only; the reference CLI
+    accepts ``-l`` up to 255 (main.c:35), so larger lookaheads transparently
+    fall back to the distance-chunked matcher (same exact results) with a
+    warning instead of failing mid-encode."""
+    if name in ("bitplane", "pallas_bitplane") and la > 33:
+        import warnings
+
+        warnings.warn(
+            f"matcher {name!r} supports la <= 33; auto-routing la={la} to "
+            "'chunked' (identical output, different kernel)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return "chunked"
+    return name
+
+
 def get_matcher(name: str):
     if name == "pallas":
         from . import pallas_match  # deferred: pulls in pallas machinery

@@ -92,6 +92,9 @@ def encode_bytes_multihost(
     processes return None.
     """
     params = params or spec.Params()
+    from ..ops import match as match_ops
+
+    matcher = match_ops.route_matcher(matcher, params.la)
     nproc = jax.process_count()
     if nproc == 1:
         return codec_model.encode_bytes(

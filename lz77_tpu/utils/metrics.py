@@ -14,7 +14,18 @@ import time
 
 @dataclasses.dataclass
 class PhaseTimes:
-    """Wall-clock per pipeline phase, seconds."""
+    """Wall-clock per pipeline phase, seconds.
+
+    Semantics (two-deep submit/process pipeline, models/codec.py):
+
+    * ``io``    — input staging + device dispatch (the ``submit`` half).
+    * ``match`` — time blocked on device results: device compute not hidden
+      by the pipeline overlap, plus device-to-host transfer.  This is a
+      completion fetch, so match+io bounds the true device-side cost.
+    * ``parse``/``pack`` — host-side parse walk and token packing.
+    * ``total`` — end-to-end wall time of the encode; the other phases sum
+      to ~total (small gaps are loop/bookkeeping overhead).
+    """
 
     match: float = 0.0
     parse: float = 0.0

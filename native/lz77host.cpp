@@ -533,7 +533,10 @@ int64_t lz77_decode_bound(const uint8_t* in, int64_t n) {
   BitReader br(in, n);
   uint32_t sb, la;
   if (!br.get(16, &sb) || !br.get(16, &la)) return -1;
-  if (la < 2 || sb < 1) return -3;
+  // Untrusted-input surface: a crafted header with la > 255 would push the
+  // fused token width past 32 bits and overflow the bulk BitReader path, so
+  // reject the same bounds the encoders enforce (reference CLI, main.c:35-38).
+  if (la < 2 || la > 255 || sb < 1 || sb > 65535) return -3;
   const int off_bits = bitof(static_cast<int>(sb));
   const int len_bits = bitof(static_cast<int>(la));
   const int width = off_bits + len_bits + 8;
@@ -552,7 +555,9 @@ int64_t lz77_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
   BitReader br(in, n);
   uint32_t sb, la;
   if (!br.get(16, &sb) || !br.get(16, &la)) return -1;
-  if (la < 2 || sb < 1) return -3;
+  // Same untrusted-header bounds as lz77_decode_bound: width must stay <= 32
+  // for the fused token read below.
+  if (la < 2 || la > 255 || sb < 1 || sb > 65535) return -3;
   const int off_bits = bitof(static_cast<int>(sb));
   const int len_bits = bitof(static_cast<int>(la));
   const int width = off_bits + len_bits + 8;
@@ -560,7 +565,9 @@ int64_t lz77_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
   const uint32_t len_mask = len_bits ? ((1u << len_bits) - 1u) : 0u;
   int64_t w = 0;
   uint32_t tok, off, len, next;
-  // One bit-read per token (width <= 31: off <= 16, len <= 8, next 8 bits).
+  // One bit-read per token.  width <= 32 (off <= 16, len <= 8, next 8 bits);
+  // width == 32 (sb=65535, la>=129) works only because BitReader::get and the
+  // masks special-case a full 32-bit read — keep that in mind when refactoring.
   while (br.get(width, &tok)) {
     off = tok & off_mask;
     len = (tok >> off_bits) & len_mask;

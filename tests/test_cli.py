@@ -112,3 +112,24 @@ def test_dump_tool(tmp_path):
     bad = tmp_path / "bad.lz"
     bad.write_bytes(b"\x01")
     assert dump_mod.main([str(bad)]) == 1
+
+
+def test_cli_large_la_with_bitplane_matcher(tmp_path, capsys):
+    """-l 64 --matcher pallas_bitplane must succeed via auto-routing
+    (previously died with a misleading 'Error reading bits')."""
+    import warnings
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    dec = tmp_path / "dec"
+    data = b"abcabcabcabc" * 300
+    inp.write_bytes(data)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        rc = cli.main(["-c", "-i", str(inp), "-o", str(out), "-l", "64",
+                       "--matcher", "pallas_bitplane"])
+    capsys.readouterr()
+    assert rc == 0
+    rc = cli.main(["-d", "-i", str(out), "-o", str(dec)])
+    assert rc == 0
+    assert dec.read_bytes() == data

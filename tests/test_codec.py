@@ -71,3 +71,24 @@ def test_stats_report(rng):
     assert stats.tokens == spec.token_count(
         len(stream) - spec.HEADER_BYTES, spec.Params(la=15, sb=255).width
     )
+
+
+def test_large_la_autoroutes_bitplane(rng):
+    """la > 33 with a bit-plane matcher transparently falls back to the
+    chunked matcher (identical stream) instead of failing (VERDICT item 6;
+    the reference accepts -l up to 255, main.c:35)."""
+    import warnings
+
+    from lz77_tpu.models import codec
+
+    data = bytes(rng.integers(0, 32, 8192, dtype=np.uint8))
+    params = spec.Params(la=64, sb=255)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stream = codec.encode_bytes(
+            data, params, block_size=2048, matcher="pallas_bitplane"
+        )
+    assert any("auto-routing" in str(x.message) for x in w)
+    ref = codec.encode_bytes(data, params, block_size=2048, matcher="chunked")
+    assert stream == ref
+    assert codec.decode_bytes(stream) == data
