@@ -1,0 +1,302 @@
+"""Device-resident fused encode: match -> parse -> gather -> pack in one jit.
+
+Replaces the reference's serial token loop (lz77.c:89-136) AND its bit writer
+(lz77.c:246-251, bitio.c:203-236) with a single device computation per batch;
+the host only uploads raw bytes and fetches packed payload bytes + per-block
+token counts.  This is the production TPU pipeline; the host-parse pipeline in
+``models.codec`` remains as the fallback for non-byte-aligned token widths.
+
+The greedy parse's jump chain ``p <- p + L[p] + 1`` is the only sequential
+dependency.  It is resolved hierarchically, entirely with batched 2-D gathers
+(TPU-friendly; no serial walk, no long 1-D scatter):
+
+  1. The batch of G consecutive blocks is one contiguous span of the file
+     (G*B bytes).  Split it into M sub-blocks of ``s`` bytes.
+  2. A token can overhang a sub-block boundary by at most la-1 bytes, so a
+     sub-block's parse state is just its *entry offset* e in [0, la).  Each
+     sub-block's jump table (s+la wide) is squared log2(s) times to produce
+     its full entry->exit map — all M sub-blocks at once, f^(2^k) via
+     ``take_along_axis`` along the last axis.
+  3. Maps compose associatively: ``jax.lax.associative_scan`` over the M maps
+     yields every sub-block's true entry in log2(M) steps (the same
+     entry-map trick ``parallel.distributed`` uses across hosts).
+  4. With entries known, per-sub-block token starts come from a batched
+     pointer-doubling orbit (greedy_parse's fill, batched over M).
+  5. Tokens are compacted at token granularity (cumsum of counts +
+     searchsorted) and packed to bytes by affine shifts (token width is
+     constant per stream — SURVEY.md §2.3.2).  The payload buffer stays on
+     device; the host fetches only the true payload prefix.
+
+Streams are byte-identical to the host-parse pipeline and the numpy
+executable spec (asserted in tests/test_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .. import spec
+from ..ops import match as match_ops
+
+DEFAULT_SUB_BLOCK = 1 << 10
+
+
+def _log2_ceil(n: int) -> int:
+    return max(1, (n - 1).bit_length())
+
+
+@functools.partial(
+    jax.jit, static_argnames=("la", "sb", "matcher", "sub_block")
+)
+def encode_batch_device(
+    blocks: jnp.ndarray,      # (G, B) uint8
+    halos: jnp.ndarray,       # (G, H) uint8
+    rights: jnp.ndarray,      # (G, R) uint8
+    avails: jnp.ndarray,      # (G,) int32
+    valid_exts: jnp.ndarray,  # (G,) int32
+    valid_total: jnp.ndarray,  # scalar int32: valid bytes in the batch span
+    entry0: jnp.ndarray,      # scalar int32: parse entry into this batch
+    *,
+    la: int,
+    sb: int,
+    matcher: str = "pallas_bitplane",
+    sub_block: int = DEFAULT_SUB_BLOCK,
+):
+    """One fused device step over a batch of consecutive blocks.
+
+    Returns (payload, counts, total_tokens, exit_entry):
+      payload: (M*s*nb,) uint8 — packed token bytes, valid prefix only;
+      counts: (G,) int32 — tokens per block (for stats/manifest);
+      total_tokens: scalar int32;
+      exit_entry: scalar int32 — parse entry into the next batch.
+    Requires a byte-aligned token width (width % 8 == 0).
+    """
+    params = spec.Params(la=la, sb=sb)
+    if params.width % 8 != 0:
+        raise ValueError("fused pipeline requires byte-aligned token width")
+    nb = params.width // 8
+    G, B = blocks.shape
+    s = sub_block
+    N = G * B
+    M = -(-N // s)
+    NP = M * s  # padded span length
+
+    # ---- 1. match tables (the hot phase), flattened to the batch span ----
+    find = match_ops.get_matcher(matcher)
+    fn = functools.partial(find, la=la, sb=sb)
+    L, O = jax.vmap(fn)(blocks, halos, rights, avails, valid_exts)
+    L_flat = L.reshape(N).astype(jnp.int32)
+    O_flat = O.reshape(N).astype(jnp.int32)
+
+    # ---- 2. per-sub-block jump tables and entry->exit maps ----------------
+    # J[m, p]: local chain position p in [0, s+la) of sub-block m.  Token
+    # starts are positions with global index < valid_total; everything else
+    # is a fixpoint (greedy_parse semantics, ops/parse.py).
+    L_pad = jnp.concatenate(
+        [L_flat, jnp.zeros((NP - N + la,), jnp.int32)]
+    )
+    pos_l = jnp.arange(s + la, dtype=jnp.int32)[None, :]       # (1, s+la)
+    base = (jnp.arange(M, dtype=jnp.int32) * s)[:, None]        # (M, 1)
+    gpos = base + pos_l                                         # (M, s+la)
+    Lg = L_pad[gpos]
+    live = (pos_l < s) & (gpos < valid_total)
+    J = jnp.where(
+        live, jnp.minimum(pos_l + Lg + 1, s + la - 1), pos_l
+    )  # (M, s+la)
+
+    # f^s by squaring: log2(s) take_along_axis gathers over (M, s+la).
+    F = J
+    for _ in range(_log2_ceil(s)):
+        F = jnp.take_along_axis(F, F, axis=1)
+    # next-entry map, rebased against the sub-block's VALID span: chains stop
+    # at the first position >= the valid boundary, so the overhang is
+    # exit - vl_local.  For full sub-blocks vl_local == s (boundary s); for
+    # the batch's ragged tail (N % s != 0) it is the true end-of-batch
+    # boundary; for fully-padded sub-blocks (vl_local == 0) the map becomes
+    # the identity, passing the entry through the pad region unchanged.
+    vl_local = jnp.clip(valid_total - base, 0, s)  # (M, 1)
+    nmap = jnp.clip(F[:, :la] - vl_local, 0, la - 1)  # (M, la)
+
+    # ---- 3. compose maps across sub-blocks (associative scan) ------------
+    def compose(a, b):  # (a then b): combined[e] = b[a[e]]
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    P = lax.associative_scan(compose, nmap, axis=0)  # inclusive prefixes
+    e0 = jnp.clip(entry0.astype(jnp.int32), 0, la - 1)
+    entries = jnp.concatenate(
+        [e0[None], P[:-1, :][:, e0] if M > 1 else jnp.zeros((0,), jnp.int32)]
+    )  # (M,) true entry of each sub-block
+    exit_entry = P[-1, e0]
+
+    # ---- 4. token starts: batched pointer-doubling orbit -----------------
+    # S[m, i] = f^i(entry_m); chain values never exceed s+la-1.
+    S = jnp.zeros((M, s), jnp.int32).at[:, 0].set(entries)
+    Jp = J
+    m_fill = 1
+    while m_fill < s:
+        span = min(m_fill, s - m_fill)
+        tail = jnp.take_along_axis(Jp, S[:, :span], axis=1)
+        S = lax.dynamic_update_slice(S, tail, (0, m_fill))
+        Jp = jnp.take_along_axis(Jp, Jp, axis=1)
+        m_fill *= 2
+
+    tok_valid = S < vl_local                       # (M, s)
+    counts_m = tok_valid.astype(jnp.int32).sum(axis=1)  # (M,)
+
+    # ---- 5. compact + pack ------------------------------------------------
+    ccum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_m)]
+    )  # (M+1,)
+    total_tokens = ccum[-1]
+    Tcap = NP
+    t = jnp.arange(Tcap, dtype=jnp.int32)
+    mi = jnp.searchsorted(ccum, t, side="right").astype(jnp.int32) - 1
+    mi = jnp.clip(mi, 0, M - 1)
+    li = t - ccum[mi]
+    # (M, s) gathered at (mi, li): flatten for a single 1-D gather.
+    start_l = S.reshape(-1)[mi * s + li]
+    gstart = mi * s + start_l
+    gstart = jnp.minimum(gstart, N - 1)
+    ln = L_flat[gstart]
+    off = O_flat[gstart]
+    x_ext = jnp.concatenate([blocks.reshape(N), rights[G - 1]])
+    nxt = x_ext[jnp.minimum(gstart + ln, N + rights.shape[1] - 1)]
+    tvalid = t < total_tokens
+    v = (
+        off.astype(jnp.uint32)
+        | (ln.astype(jnp.uint32) << params.off_bits)
+        | (nxt.astype(jnp.uint32) << (params.off_bits + params.len_bits))
+    )
+    v = jnp.where(tvalid, v, 0)
+    shifts = (jnp.arange(nb, dtype=jnp.uint32) * 8)[None, :]
+    payload = (
+        (v[:, None] >> shifts) & jnp.uint32(0xFF)
+    ).astype(jnp.uint8).reshape(Tcap * nb)
+
+    # per-block counts for stats/manifest (S_per = sub-blocks per block)
+    if (B % s) == 0:
+        counts_b = counts_m.reshape(G, B // s).sum(axis=1)
+    else:
+        blk = (base[:, 0] // B).astype(jnp.int32)  # block of each sub-block
+        counts_b = jnp.zeros((G,), jnp.int32).at[blk].add(counts_m)
+
+    return payload, counts_b, total_tokens, exit_entry
+
+
+def _bucket(nbytes: int) -> int:
+    """Fetch-size bucket: next power of two (few distinct compiled slices)."""
+    if nbytes <= 0:
+        return 0
+    return 1 << max(12, (nbytes - 1).bit_length())
+
+
+def encode_bytes_fused(
+    data: bytes,
+    params: spec.Params | None = None,
+    *,
+    block_size: int | None = None,
+    batch_blocks: int = 8,
+    matcher: str = "pallas_bitplane",
+    sub_block: int = DEFAULT_SUB_BLOCK,
+    stats=None,
+) -> bytes:
+    """Compress via the fused device pipeline (byte-aligned widths only).
+
+    Two-deep software pipeline: the device chews batch k+1 (its entry carried
+    as a device scalar — no host roundtrip in the dependency chain) while the
+    host fetches batch k's payload prefix.
+    """
+    from . import codec as codec_model  # lazy: avoid import cycle
+
+    params = params or spec.Params()
+    if params.width % 8 != 0:
+        raise ValueError("fused pipeline requires byte-aligned token width")
+    matcher = match_ops.route_matcher(matcher, params.la)
+    if block_size is None:
+        if matcher == "pallas_bitplane":
+            from ..ops import pallas_bitplane
+
+            block_size = pallas_bitplane.preferred_block_size(
+                params.la, params.sb
+            )
+        else:
+            block_size = codec_model.DEFAULT_BLOCK_SIZE
+    x = np.frombuffer(data, dtype=np.uint8)
+    n = x.shape[0]
+    st = stats if stats is not None else codec_model.EncodeStats()
+    st.input_bytes = n
+    nb_bytes = params.width // 8
+
+    if n == 0:
+        from .. import bitio
+
+        st.output_bytes = spec.HEADER_BYTES
+        return bitio.header_bytes(params)
+
+    B = block_size
+    G = batch_blocks
+    H, R = params.d_limit, params.len_limit
+    nblocks = -(-n // B)
+    num_batches = -(-nblocks // G)
+
+    def submit(bi: int, entry_dev):
+        g0 = bi * G
+        gn = min(G, nblocks - g0)
+        gb, gh, gr, ga, gv = codec_model._batch_inputs(
+            x, n, g0, gn, G, B, H, R
+        )
+        vt = min(G * B, n - g0 * B)
+        payload, counts, total, exit_entry = encode_batch_device(
+            jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
+            jnp.asarray(ga), jnp.asarray(gv),
+            jnp.int32(vt), entry_dev,
+            la=params.la, sb=params.sb, matcher=matcher,
+            sub_block=sub_block,
+        )
+        return payload, counts, total, exit_entry
+
+    from .. import bitio
+    from ..utils import metrics as metrics_lib
+
+    parts: list[bytes] = [bitio.header_bytes(params)]
+    total_tokens = 0
+    with metrics_lib.StopwatchPhase(st.phases, "total"):
+        entry_dev = jnp.int32(0)
+        pending = None
+        for bi in range(num_batches):
+            with metrics_lib.StopwatchPhase(st.phases, "io"):
+                nxt = submit(bi, entry_dev)
+                entry_dev = nxt[3]
+            if pending is not None:
+                parts.append(_fetch(pending, nb_bytes, st))
+                total_tokens += int(np.asarray(pending[2]))
+            pending = nxt
+        if pending is not None:
+            parts.append(_fetch(pending, nb_bytes, st))
+            total_tokens += int(np.asarray(pending[2]))
+
+        st.tokens = total_tokens
+        st.blocks = nblocks
+        stream = b"".join(parts)
+        st.output_bytes = len(stream)
+    return stream
+
+
+def _fetch(handle, nb_bytes: int, st) -> bytes:
+    """Fetch one batch's true payload prefix (bucketed device slice)."""
+    from ..utils import metrics as metrics_lib
+
+    payload, counts, total, _ = handle
+    with metrics_lib.StopwatchPhase(st.phases, "match"):
+        nbytes = int(np.asarray(total)) * nb_bytes
+        cap = payload.shape[0]
+        bk = min(_bucket(nbytes), cap)
+        if nbytes == 0:
+            return b""
+        buf = np.asarray(payload[:bk])
+    return buf[:nbytes].tobytes()

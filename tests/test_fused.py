@@ -1,0 +1,96 @@
+"""Device-resident fused encode pipeline (models/fused.py).
+
+The fused step keeps match -> parse -> gather -> pack on device and must emit
+streams byte-identical to the host-parse pipeline (and therefore to the numpy
+executable spec and the <= reference-size guarantee chain).
+"""
+
+import numpy as np
+import pytest
+
+from lz77_tpu import spec
+from lz77_tpu.models import codec, fused
+
+from conftest import CORPUS_SMALL, make_text
+
+
+@pytest.mark.parametrize("name", sorted(CORPUS_SMALL))
+def test_fused_matches_host_pipeline(rng, name):
+    data = CORPUS_SMALL[name](rng)
+    params = spec.Params()
+    out = fused.encode_bytes_fused(
+        data, params, block_size=2048, batch_blocks=2, matcher="brute",
+        sub_block=256,
+    )
+    ref = codec.encode_bytes(data, params, block_size=2048, matcher="brute")
+    assert out == ref
+    assert codec.decode_bytes(out) == data
+
+
+def test_fused_odd_geometry(rng):
+    """Block size not a multiple of the sub-block: the batch span's ragged
+    tail exercises the valid-boundary rebase of the entry maps."""
+    data = make_text(rng, 50000)
+    params = spec.Params()
+    out = fused.encode_bytes_fused(
+        data, params, block_size=10002, batch_blocks=3, matcher="chunked",
+        sub_block=512,
+    )
+    ref = codec.encode_bytes(data, params, block_size=10002, matcher="chunked")
+    assert out == ref
+
+
+def test_fused_entry_carry_across_batches(rng):
+    """A long run straddling several batch boundaries forces nonzero entry
+    offsets carried device-side between batches."""
+    data = b"x" * 9000 + make_text(rng, 3000) + b"y" * 9000
+    params = spec.Params()
+    out = fused.encode_bytes_fused(
+        data, params, block_size=2048, batch_blocks=2, matcher="chunked",
+        sub_block=256,
+    )
+    ref = codec.encode_bytes(data, params, block_size=2048, matcher="chunked")
+    assert out == ref
+
+
+def test_fused_nondefault_aligned_params(rng):
+    """la=16, sb=4095 -> 12+4+8 = 24-bit tokens (byte-aligned, non-default)."""
+    data = make_text(rng, 20000)
+    params = spec.Params(la=16, sb=4095)
+    out = fused.encode_bytes_fused(
+        data, params, block_size=4096, batch_blocks=2, matcher="chunked",
+        sub_block=512,
+    )
+    ref = codec.encode_bytes(data, params, block_size=4096, matcher="chunked")
+    assert out == ref
+
+
+def test_fused_rejects_unaligned_width():
+    params = spec.Params(la=17, sb=4095)  # 12+5+8 = 25 bits
+    with pytest.raises(ValueError, match="byte-aligned"):
+        fused.encode_bytes_fused(b"abc", params)
+
+
+def test_fused_cross_decode_oracle(oracle, rng):
+    data = make_text(rng, 30000)
+    out = fused.encode_bytes_fused(
+        data, spec.Params(), block_size=4096, batch_blocks=2,
+        matcher="chunked", sub_block=512,
+    )
+    assert oracle.decode(out) == data
+    ref = oracle.encode(data)
+    assert len(out) <= len(ref)
+
+
+def test_fused_stats(rng):
+    data = make_text(rng, 20000)
+    st = codec.EncodeStats()
+    out = fused.encode_bytes_fused(
+        data, spec.Params(), block_size=4096, batch_blocks=2,
+        matcher="chunked", sub_block=512, stats=st,
+    )
+    assert st.input_bytes == len(data)
+    assert st.output_bytes == len(out)
+    assert st.tokens == (len(out) - 4) // 3  # 24-bit tokens
+    assert st.blocks == -(-len(data) // 4096)
+    assert st.phases.total > 0
