@@ -14,11 +14,16 @@ The reference is a single process with stdio as its only transport
   lengths), one tiny allgather shares the maps, and every host composes the
   prefix to learn its true entry — then emits its final tokens;
 * per-block token counts are allgathered so global bit offsets are affine
-  (``32 + width * cumsum(counts)``), and process 0 gathers the payload
-  bytes and writes the single stream.
+  (``32 + width * cumsum(counts)``);
+* payload collection is ORDERED and sized per host: the production path
+  (:func:`encode_file_multihost`) has every host ``pwrite`` its own segment
+  of the shared output file at its computed byte offset — zero inter-host
+  payload traffic; the in-memory path (:func:`encode_bytes_multihost`)
+  broadcasts each host's exact-size payload in rank order (no padding to
+  the global max, unlike the round-1 allgather).
 
 Runs degenerate-correctly in a single process, and is exercised for real by
-``tests/test_multihost.py`` via two CPU processes over Gloo (§4e).
+``tests/test_multihost.py`` via 2- and 4-process CPU runs over Gloo (§4e).
 """
 
 from __future__ import annotations
@@ -76,43 +81,44 @@ def _parse_range(
     return all_starts, entry
 
 
-def encode_bytes_multihost(
-    data: bytes,
-    params: spec.Params | None = None,
+def _encode_range(
+    x: np.ndarray,
+    n: int,
+    params: spec.Params,
     *,
-    block_size: int = codec_model.DEFAULT_BLOCK_SIZE,
-    batch_blocks: int = codec_model.DEFAULT_BATCH_BLOCKS,
-    matcher: str = "chunked",
-) -> bytes | None:
-    """Encode with blocks partitioned across JAX processes.
+    block_size: int,
+    batch_blocks: int,
+    matcher: str,
+    retries: int = 2,
+    fault_injector=None,
+    work_seconds: list | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Phases 1-3 for this process's block range.
 
-    Every process matches and parses only its contiguous block range; the
-    stream is identical to the single-host encoder's (exact global parse via
-    the entry-map composition).  Process 0 returns the stream; other
-    processes return None.
+    Returns (counts over ALL blocks with my range filled in, my payload bit
+    array or bytes, my payload bit length).  ``work_seconds`` (if a list)
+    receives a {"wall", "cpu"} dict for the pure-compute region, excluding
+    collectives — used by the scaling-efficiency measurement (cpu time is
+    immune to core oversubscription; Gloo collectives busy-poll, so they
+    must stay outside the measured region).
     """
-    params = params or spec.Params()
-    from ..ops import match as match_ops
-
-    matcher = match_ops.route_matcher(matcher, params.la)
-    nproc = jax.process_count()
-    if nproc == 1:
-        return codec_model.encode_bytes(
-            data, params, block_size=block_size, batch_blocks=batch_blocks,
-            matcher=matcher,
-        )
+    import time
 
     from jax.experimental import multihost_utils
 
+    from ..utils import faults as faults_lib
+
+    nproc = jax.process_count()
     pid = jax.process_index()
-    x = np.frombuffer(data, dtype=np.uint8)
-    n = x.shape[0]
     la = params.la
     B = block_size
     nb = -(-n // B) if n else 0
     lo, hi = block_range(nb, nproc, pid)
 
-    # Phase 1: match tables for my range (device), fetched to host.
+    t_work0 = time.perf_counter()
+    c_work0 = time.process_time()
+    # Phase 1: match tables for my range (device), fetched to host.  A
+    # failed device batch is retried — blocks are independent (SURVEY.md §5).
     Ls: list[np.ndarray] = []
     Os: list[np.ndarray] = []
     vls: list[int] = []
@@ -120,17 +126,23 @@ def encode_bytes_multihost(
     G = batch_blocks
     for g0 in range(lo, hi, G):
         gn = min(G, hi - g0)
-        gb, gh, gr, ga, gv = codec_model._batch_inputs(
-            x, n, g0, gn, G, B, H, R
-        )
-        import jax.numpy as jnp
 
-        L, O = encoder_model.match_blocks(
-            jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
-            jnp.asarray(ga), jnp.asarray(gv),
-            la=params.la, sb=params.sb, matcher=matcher,
-        )
-        Ln, On = np.asarray(L), np.asarray(O)
+        def run_batch(g0=g0, gn=gn):
+            if fault_injector is not None:
+                fault_injector.check(g0)
+            gb, gh, gr, ga, gv = codec_model._batch_inputs(
+                x, n, g0, gn, G, B, H, R
+            )
+            import jax.numpy as jnp
+
+            L, O = encoder_model.match_blocks(
+                jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
+                jnp.asarray(ga), jnp.asarray(gv),
+                la=params.la, sb=params.sb, matcher=matcher,
+            )
+            return np.asarray(L), np.asarray(O)
+
+        Ln, On = faults_lib.with_retries(run_batch, retries=retries)
         for i in range(gn):
             Ls.append(Ln[i].astype(np.uint8))
             Os.append(On[i].astype(np.uint16))
@@ -141,6 +153,8 @@ def encode_bytes_multihost(
     for e in range(la):
         _, ex = _parse_range(Ls, vls, e, la)
         exits[e] = ex
+    t_work = time.perf_counter() - t_work0
+    c_work = time.process_time() - c_work0
     all_exits = np.asarray(multihost_utils.process_allgather(exits))
 
     # Compose prefix maps: my true entry.
@@ -149,6 +163,8 @@ def encode_bytes_multihost(
         entry = int(all_exits[h][entry])
 
     # Phase 3: final parse + token emission for my range.
+    t_work0 = time.perf_counter()
+    c_work0 = time.process_time()
     starts_list, _ = _parse_range(Ls, vls, entry, la)
     counts = np.zeros(nb, np.int64)
     chunks: list[np.ndarray] = []
@@ -162,41 +178,222 @@ def encode_bytes_multihost(
         off = Os[k][starts].astype(np.int64)
         nx = x[gs + starts + ln]
         chunks.append(bitio.tokens_to_chunk(off, ln, nx, params))
-
-    # Phase 4: allgather counts (offsets) and payloads; host 0 assembles.
-    counts = np.asarray(
-        multihost_utils.process_allgather(counts)
-    ).sum(axis=0)
     if bitio.byte_aligned(params):
-        payload = (
-            np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
-        )
-        nbits = payload.shape[0] * 8
+        payload = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+        nbits = int(payload.shape[0]) * 8
     else:
-        bits = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
-        nbits = bits.shape[0]
-        payload = np.packbits(bits, bitorder="little")
+        payload = np.concatenate(chunks) if chunks else np.zeros(0, np.uint8)
+        nbits = int(payload.shape[0])
+    if work_seconds is not None:
+        work_seconds.append({
+            "wall": t_work + (time.perf_counter() - t_work0),
+            "cpu": c_work + (time.process_time() - c_work0),
+        })
+    return counts, payload, nbits
+
+
+def encode_bytes_multihost(
+    data: bytes,
+    params: spec.Params | None = None,
+    *,
+    block_size: int = codec_model.DEFAULT_BLOCK_SIZE,
+    batch_blocks: int = codec_model.DEFAULT_BATCH_BLOCKS,
+    matcher: str = "chunked",
+    retries: int = 2,
+    fault_injector=None,
+    work_seconds: list | None = None,
+    force: bool = False,
+) -> bytes | None:
+    """Encode with blocks partitioned across JAX processes (in-memory API).
+
+    Every process matches and parses only its contiguous block range; the
+    stream is identical to the single-host encoder's (exact global parse via
+    the entry-map composition).  Payloads are collected to process 0 in rank
+    order at their EXACT sizes (one broadcast per host — no padding to the
+    global max).  Process 0 returns the stream; other processes return None.
+
+    For file outputs prefer :func:`encode_file_multihost`, which ships zero
+    payload bytes between hosts (each host pwrites its own segment).
+    """
+    params = params or spec.Params()
+    from ..ops import match as match_ops
+
+    matcher = match_ops.route_matcher(matcher, params.la)
+    nproc = jax.process_count()
+    if nproc == 1 and not force:
+        # Solo fast path (``force=True`` keeps the distributed pipeline for
+        # apples-to-apples scaling measurements; collectives are no-ops).
+        return codec_model.encode_bytes(
+            data, params, block_size=block_size, batch_blocks=batch_blocks,
+            matcher=matcher, retries=retries,
+        )
+
+    from jax.experimental import multihost_utils
+
+    pid = jax.process_index()
+    x = np.frombuffer(data, dtype=np.uint8)
+    n = x.shape[0]
+    _, payload, nbits = _encode_range(
+        x, n, params, block_size=block_size, batch_blocks=batch_blocks,
+        matcher=matcher, retries=retries, fault_injector=fault_injector,
+        work_seconds=work_seconds,
+    )
+
+    # Ordered exact-size collection: allgather the (tiny) sizes, then one
+    # rank-ordered broadcast per host of exactly its payload.
     sizes = np.asarray(
         multihost_utils.process_allgather(
             np.array([payload.shape[0], nbits], np.int64)
         )
-    )
-    maxlen = int(sizes[:, 0].max()) if sizes.size else 0
-    padded = np.zeros(max(maxlen, 1), np.uint8)
-    padded[: payload.shape[0]] = payload
-    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    ).reshape(nproc, 2)
+    parts: list[np.ndarray] = []
+    for h in range(nproc):
+        nbytes_h = int(sizes[h, 0])
+        if nbytes_h == 0:
+            continue
+        buf = payload if pid == h else np.zeros(nbytes_h, np.uint8)
+        got = np.asarray(
+            multihost_utils.broadcast_one_to_all(buf, is_source=(pid == h))
+        )
+        if pid == 0:
+            parts.append(got)
 
     if pid != 0:
         return None
     if bitio.byte_aligned(params):
-        parts = [
-            gathered[h][: sizes[h, 0]] for h in range(nproc)
-        ]
         return bitio.assemble_stream(parts, params)
     bit_parts = [
-        np.unpackbits(gathered[h][: sizes[h, 0]], bitorder="little")[
-            : sizes[h, 1]
-        ]
-        for h in range(nproc)
+        p[: int(sizes[h, 1])]
+        for h, p in zip(
+            [h for h in range(nproc) if sizes[h, 0] > 0], parts
+        )
     ]
     return bitio.assemble_stream(bit_parts, params)
+
+
+def encode_file_multihost(
+    in_path: str,
+    out_path: str,
+    params: spec.Params | None = None,
+    *,
+    block_size: int = codec_model.DEFAULT_BLOCK_SIZE,
+    batch_blocks: int = codec_model.DEFAULT_BATCH_BLOCKS,
+    matcher: str = "chunked",
+    retries: int = 2,
+) -> None:
+    """Multi-host file encode over a shared filesystem: ordered parallel
+    writes, zero inter-host payload traffic.
+
+    Global bit offsets are affine in the allgathered token counts
+    (SURVEY.md §7 insight 1), so every host knows its segment's position:
+    it ``pwrite``s its full bytes directly into the output file.  For
+    non-byte-aligned widths each host's boundary byte straddles two hosts'
+    bits; the (tiny) partial-byte values are allgathered and process 0
+    merges them.  The result is byte-identical to the single-host stream.
+    """
+    import os
+
+    from jax.experimental import multihost_utils
+
+    params = params or spec.Params()
+    from ..ops import match as match_ops
+
+    matcher = match_ops.route_matcher(matcher, params.la)
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    n = os.path.getsize(in_path)
+    x = (
+        np.memmap(in_path, dtype=np.uint8, mode="r")
+        if n
+        else np.zeros(0, np.uint8)
+    )
+    counts_mine, payload, nbits = _encode_range(
+        x, n, params, block_size=block_size, batch_blocks=batch_blocks,
+        matcher=matcher, retries=retries,
+    )
+    counts = np.asarray(
+        multihost_utils.process_allgather(counts_mine)
+    ).reshape(nproc, -1).sum(axis=0)
+
+    nb_blocks = counts.shape[0]
+    lo, hi = block_range(nb_blocks, nproc, pid)
+    W = params.width
+    tokens_before = int(counts[:lo].sum())
+    my_tokens = int(counts[lo:hi].sum())
+    total_tokens = int(counts.sum())
+    start_bit = spec.HEADER_BITS + W * tokens_before
+    end_bit = start_bit + W * my_tokens
+    total_bytes = spec.stream_size_bytes(total_tokens, W)
+
+    if pid == 0:
+        with open(out_path, "wb") as f:
+            f.write(bitio.header_bytes(params))
+            f.truncate(total_bytes)
+    # Barrier: the file must exist at full size before anyone pwrites.
+    multihost_utils.process_allgather(np.zeros(1, np.int32))
+
+    partial = np.zeros(3, np.int64)  # (byte_index, value, nbits_in_byte)
+    fd = os.open(out_path, os.O_WRONLY)
+    try:
+        if bitio.byte_aligned(params):
+            if payload.shape[0]:
+                os.pwrite(fd, payload.tobytes(), start_bit // 8)
+        else:
+            # Shift my bit array so it starts at its in-byte offset; my
+            # first byte may straddle the previous host's bits and my last
+            # byte the next host's — exclude both from the pwrite and route
+            # them through the partial-byte merge.
+            head_pad = start_bit % 8
+            bits = np.concatenate(
+                [np.zeros(head_pad, np.uint8), payload[:nbits]]
+            )
+            by = np.packbits(bits, bitorder="little")
+            first_byte = start_bit // 8
+            last_bit = end_bit - 1
+            lo_i = 0
+            hi_i = by.shape[0]
+            if head_pad and by.shape[0]:
+                partial_head = (first_byte, int(by[0]), head_pad)
+                lo_i = 1
+            else:
+                partial_head = None
+            tail_bits = end_bit % 8
+            if tail_bits and by.shape[0] > lo_i:
+                partial_tail = (last_bit // 8, int(by[-1]), tail_bits)
+                hi_i -= 1
+            else:
+                partial_tail = None
+            if hi_i > lo_i:
+                os.pwrite(fd, by[lo_i:hi_i].tobytes(), first_byte + lo_i)
+            # A host contributes at most two partial bytes; encode both in
+            # one fixed-size record for the allgather (value<<8 | count).
+            rec = []
+            for p in (partial_head, partial_tail):
+                rec.append(
+                    (-1, 0, 0) if p is None else p
+                )
+            partial = np.array(rec, np.int64).reshape(-1)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+    if not bitio.byte_aligned(params):
+        allp = np.asarray(
+            multihost_utils.process_allgather(partial)
+        ).reshape(nproc, 2, 3)
+        if pid == 0:
+            merged: dict[int, int] = {}
+            for h in range(nproc):
+                for k in range(2):
+                    idx, val, _ = allp[h, k]
+                    if idx >= 0:
+                        merged[int(idx)] = merged.get(int(idx), 0) | int(val)
+            fd = os.open(out_path, os.O_WRONLY)
+            try:
+                for idx, val in sorted(merged.items()):
+                    os.pwrite(fd, bytes([val]), idx)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+    # Final barrier: every process returns only after the file is complete.
+    multihost_utils.process_allgather(np.zeros(1, np.int32))
