@@ -42,12 +42,71 @@ from jax import lax
 
 from .. import spec
 from ..ops import match as match_ops
+from ..ops import parse_walk
 
 DEFAULT_SUB_BLOCK = 1 << 10
 
 
 def _log2_ceil(n: int) -> int:
     return max(1, (n - 1).bit_length())
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la", "sb", "matcher", "sub_block", "interpret"),
+)
+def encode_batch_walk(
+    blocks: jnp.ndarray,      # (G, B) uint8
+    halos: jnp.ndarray,       # (G, H) uint8
+    rights: jnp.ndarray,      # (G, R) uint8
+    avails: jnp.ndarray,      # (G,) int32
+    valid_exts: jnp.ndarray,  # (G,) int32
+    valid_total: jnp.ndarray,  # scalar int32
+    entry0: jnp.ndarray,      # scalar int32
+    *,
+    la: int,
+    sb: int,
+    matcher: str = "pallas_bitplane",
+    sub_block: int = parse_walk.DEFAULT_CHUNK,
+    interpret: bool = False,
+):
+    """Fused device step, scalar-core walk variant (the TPU production path).
+
+    Match tables come from the vectorized matcher (VPU/bit-plane kernels);
+    the greedy parse + gather + pack is the serial-walk Pallas kernel
+    (ops/parse_walk.py) — no XLA gathers anywhere.  Returns
+    (payload, counts_dummy, total_tokens, exit_entry) with the same contract
+    as :func:`encode_batch_device` except counts is per grid step.
+    """
+    params = spec.Params(la=la, sb=sb)
+    if params.width % 8 != 0:
+        raise ValueError("fused pipeline requires byte-aligned token width")
+    if la > parse_walk.OVER:
+        raise ValueError("walk parser supports la <= 128")
+    nb = params.width // 8
+    G, B = blocks.shape
+    N = G * B
+    find = match_ops.get_matcher(matcher)
+    fn = functools.partial(find, la=la, sb=sb)
+    L, O = jax.vmap(fn)(blocks, halos, rights, avails, valid_exts)
+
+    chunk = sub_block
+    nc, ng, Tcap = parse_walk.walk_geometry(N, chunk)
+    lox = parse_walk.build_lox(
+        L.reshape(N).astype(jnp.int32), O.reshape(N).astype(jnp.int32),
+        blocks.reshape(N), rights[G - 1], nc * chunk,
+    )
+    lox3d = parse_walk.stage_lox(lox, chunk, ng)
+    tokens, total, exit_e = parse_walk.walk_parse_pack(
+        lox3d, entry0, valid_total,
+        ng=ng, chunk=chunk, ob=params.off_bits, lb=params.len_bits,
+        interpret=interpret,
+    )
+    shifts = (jnp.arange(nb, dtype=jnp.int32) * 8)[None, :]
+    payload = (
+        (lax.shift_right_logical(tokens[:, None], shifts)) & jnp.int32(0xFF)
+    ).astype(jnp.uint8).reshape(tokens.shape[0] * nb)
+    return payload, jnp.zeros((G,), jnp.int32), total, exit_e
 
 
 @functools.partial(
@@ -202,10 +261,15 @@ def encode_bytes_fused(
     block_size: int | None = None,
     batch_blocks: int = 8,
     matcher: str = "pallas_bitplane",
-    sub_block: int = DEFAULT_SUB_BLOCK,
+    sub_block: int | None = None,
     stats=None,
+    parser: str = "auto",
 ) -> bytes:
     """Compress via the fused device pipeline (byte-aligned widths only).
+
+    ``parser``: "walk" = the scalar-core Pallas kernel (TPU production
+    path); "scan" = the pure-XLA gather formulation (runs on any backend);
+    "auto" = walk on TPU, scan elsewhere.
 
     Two-deep software pipeline: the device chews batch k+1 (its entry carried
     as a device scalar — no host roundtrip in the dependency chain) while the
@@ -217,6 +281,15 @@ def encode_bytes_fused(
     if params.width % 8 != 0:
         raise ValueError("fused pipeline requires byte-aligned token width")
     matcher = match_ops.route_matcher(matcher, params.la)
+    if parser == "auto":
+        import jax as _jax
+
+        on_tpu = _jax.devices()[0].platform not in ("cpu",)
+        parser = "walk" if (on_tpu and params.la <= parse_walk.OVER) else "scan"
+    if sub_block is None:
+        sub_block = (
+            parse_walk.DEFAULT_CHUNK if parser == "walk" else DEFAULT_SUB_BLOCK
+        )
     if block_size is None:
         if matcher == "pallas_bitplane":
             from ..ops import pallas_bitplane
@@ -244,6 +317,8 @@ def encode_bytes_fused(
     nblocks = -(-n // B)
     num_batches = -(-nblocks // G)
 
+    step_fn = encode_batch_walk if parser == "walk" else encode_batch_device
+
     def submit(bi: int, entry_dev):
         g0 = bi * G
         gn = min(G, nblocks - g0)
@@ -251,7 +326,7 @@ def encode_bytes_fused(
             x, n, g0, gn, G, B, H, R
         )
         vt = min(G * B, n - g0 * B)
-        payload, counts, total, exit_entry = encode_batch_device(
+        payload, counts, total, exit_entry = step_fn(
             jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
             jnp.asarray(ga), jnp.asarray(gv),
             jnp.int32(vt), entry_dev,

@@ -94,3 +94,43 @@ def test_fused_stats(rng):
     assert st.tokens == (len(out) - 4) // 3  # 24-bit tokens
     assert st.blocks == -(-len(data) // 4096)
     assert st.phases.total > 0
+
+
+def test_walk_parser_matches_scan(rng):
+    """The scalar-core walk kernel (interpret mode on CPU) must produce the
+    exact token stream of the XLA scan formulation."""
+    import jax.numpy as jnp
+
+    from lz77_tpu.models import codec as codec_model
+
+    data = make_text(rng, 40000) + b"\x00" * 5000
+    params = spec.Params()
+    x = np.frombuffer(data, np.uint8)
+    n = x.shape[0]
+    B, G = 8192, 3
+    H, R = params.d_limit, params.len_limit
+    entry_w = jnp.int32(0)
+    entry_s = jnp.int32(0)
+    nblocks = -(-n // B)
+    out_w, out_s = [], []
+    for bi in range(-(-nblocks // G)):
+        g0 = bi * G
+        gn = min(G, nblocks - g0)
+        gb, gh, gr, ga, gv = codec_model._batch_inputs(x, n, g0, gn, G, B, H, R)
+        vt = jnp.int32(min(G * B, n - g0 * B))
+        args = (jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
+                jnp.asarray(ga), jnp.asarray(gv), vt)
+        pw, _, tw, entry_w = fused.encode_batch_walk(
+            *args, entry_w, la=params.la, sb=params.sb, matcher="chunked",
+            sub_block=1024, interpret=True,
+        )
+        ps, _, ts, entry_s = fused.encode_batch_device(
+            *args, entry_s, la=params.la, sb=params.sb, matcher="chunked",
+            sub_block=1024,
+        )
+        tw, ts = int(tw), int(ts)
+        assert tw == ts
+        out_w.append(np.asarray(pw)[: tw * 3])
+        out_s.append(np.asarray(ps)[: ts * 3])
+        assert int(entry_w) == int(entry_s)
+    assert all(np.array_equal(a, b) for a, b in zip(out_w, out_s))
