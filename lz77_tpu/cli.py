@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Resume a previous encode from --manifest")
     p.add_argument("--backend", choices=("jax", "native", "numpy"),
                    default="jax", help="Execution backend")
+    p.add_argument("--pipeline", choices=("host", "fused"), default="host",
+                   help="jax-backend encode pipeline: 'host' = device match "
+                        "+ host parse; 'fused' = device-resident "
+                        "match+parse+pack (byte-aligned token widths)")
     p.add_argument("--threads", type=int, default=None,
                    help="Native-backend encoder threads (default: all cores; "
                         "the parallel encoder emits byte-identical streams)")
@@ -250,11 +254,19 @@ def _encode(data: bytes, params: spec.Params, args):
 
     stats = codec.EncodeStats()
     kwargs = _block_kwargs(args, params)
-    out = codec.encode_bytes(
-        data, params, matcher=args.matcher, stats=stats, **kwargs
-    )
+    if args.pipeline == "fused":
+        from .models import fused
+
+        out = fused.encode_bytes_fused(
+            data, params, matcher=args.matcher, stats=stats, **kwargs
+        )
+    else:
+        out = codec.encode_bytes(
+            data, params, matcher=args.matcher, stats=stats, **kwargs
+        )
     return out, {
         "backend": "jax",
+        "pipeline": args.pipeline,
         "matcher": args.matcher,
         "tokens": stats.tokens,
         "blocks": stats.blocks,

@@ -23,7 +23,20 @@ DEFAULT_CHUNK_TOKENS = 1 << 15
 
 @functools.partial(jax.jit, static_argnames=("la",))
 def _decode_chunk(off, ln, nxt, count, prev_tail, *, la):
-    return decode_ops.decode_tokens(off, ln, nxt, count, prev_tail, la=la)
+    """One token chunk -> (bytes, length, next tail) — tail stays on device.
+
+    The H-byte tail (the reference decoder's recycled window,
+    lz77.c:172-175) is computed ON DEVICE so consecutive chunk dispatches
+    chain without a host round-trip in the dependency path; the host only
+    fetches each chunk's output bytes.
+    """
+    out, out_len = decode_ops.decode_tokens(
+        off, ln, nxt, count, prev_tail, la=la
+    )
+    H = prev_tail.shape[0]
+    ext = jnp.concatenate([prev_tail, out])
+    new_tail = jax.lax.dynamic_slice(ext, (out_len,), (H,)) if H else prev_tail
+    return out, out_len, new_tail
 
 
 def decode_stream(
@@ -44,8 +57,10 @@ def decode_stream(
     ln = ln.astype(np.int32)
     nxt = nxt.astype(np.int32)
 
-    pieces: list[np.ndarray] = []
-    tail = jnp.zeros((H,), jnp.uint8)
+    handles: list[tuple] = []
+    tail = jnp.zeros((max(H, 1),), jnp.uint8)[:H] if H else jnp.zeros(
+        (0,), jnp.uint8
+    )
     for c0 in range(0, T, CT):
         n = min(CT, T - c0)
         o = np.zeros(CT, np.int32)
@@ -54,16 +69,10 @@ def decode_stream(
         o[:n] = off[c0 : c0 + n]
         l[:n] = ln[c0 : c0 + n]
         x[:n] = nxt[c0 : c0 + n]
-        out, out_len = _decode_chunk(
+        out, out_len, tail = _decode_chunk(
             jnp.asarray(o), jnp.asarray(l), jnp.asarray(x),
             jnp.int32(n), tail, la=params.la,
         )
-        out_np = np.asarray(out)[: int(out_len)]
-        pieces.append(out_np)
-        if H > 0:
-            if out_np.shape[0] >= H:
-                tail = jnp.asarray(out_np[-H:])
-            else:
-                joined = np.concatenate([np.asarray(tail), out_np])[-H:]
-                tail = jnp.asarray(joined)
+        handles.append((out, out_len))
+    pieces = [np.asarray(out)[: int(out_len)] for out, out_len in handles]
     return b"".join(p.tobytes() for p in pieces)

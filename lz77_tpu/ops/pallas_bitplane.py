@@ -115,6 +115,7 @@ def _kernel(
     found_scr,   # (depth, RR, 128)
     dp_scr,      # (dbits * depth, RR, 128)
     dsel_scr,    # (dbits, RR, 128)
+    need_scr,    # (depth, RR, 128): saturation masks (early exit + caps)
     *,
     depth: int,
     dlim: int,
@@ -129,7 +130,36 @@ def _kernel(
     found_scr[...] = jnp.zeros_like(found_scr)
     dp_scr[...] = jnp.zeros_like(dp_scr)
 
-    def window(widx, _):
+    # ---- saturation masks for the early-exit check -------------------------
+    # need_scr[k] = positions whose (L, O) output depends on length k+1:
+    # inside the emitted range [H, H + ve), below the lookahead-shrinkage cap
+    # (same thresholds the extraction applies).  Once every needed bit is
+    # found, no later distance can change any output — stop the sweep.
+    ve0 = scal_ref[0]
+    row0 = lax.broadcasted_iota(jnp.int32, (rr, LANES), 0)
+    col0 = lax.broadcasted_iota(jnp.int32, (rr, LANES), 1)
+    w0 = col0 * rr + row0
+
+    def _thresh(T):
+        def jbody(j, acc):
+            return acc | (jnp.where(w0 < T - j * nw, 1, 0) << j)
+        return lax.fori_loop(0, 32, jbody, jnp.zeros((rr, LANES), jnp.int32))
+
+    def _clear(mask, t):
+        tc = jnp.maximum(t, 0)
+        j = tc // nw
+        wt = tc - j * nw
+        hot = (w0 == wt) & (t >= 0)
+        return mask & ~(jnp.where(hot, 1, 0) << j)
+
+    halo_mask = _thresh(H)  # positions in the halo: results are sliced away
+    mk0 = _thresh(H + ve0 - 1)
+    for k in range(depth):
+        need_scr[k] = mk0 & ~halo_mask
+        mk0 = _clear(mk0, H + ve0 - k - 2)
+
+    def window(carry):
+        widx, _ = carry
         base = widx * 32
         fstart = found_scr[...]
         win = snapA = snapB = snapC = None
@@ -145,9 +175,20 @@ def _kernel(
             m_scr[0] = eq
             m = eq
             for k in range(1, depth):
+                # independent shifts of eq (not an incremental chain): the
+                # k rotations have no serial dependency, so the VPU can
+                # overlap them with the AND chain.
                 m = m & _rot_pos(eq, k)
                 m_scr[k] = m
-            newly = m_scr[...] & ~found_scr[...]
+            t = i + 1
+            # ``newly`` (the first-touch set) is materialized only on steps
+            # that fold it into a distance plane; on pure bookkeeping steps
+            # found |= m is the same update at half the slab traffic.
+            fold_bits = [b for b in range(2) if (t >> b) & 1]
+            if i == 31 or fold_bits:
+                newly = m_scr[...] & ~found_scr[...]
+            else:
+                newly = None
             if i == 31:
                 # snapshot BEFORE i=31's update: d = base+32's high bits are
                 # folded separately below, not with the window's.
@@ -159,15 +200,16 @@ def _kernel(
                     dp_scr[s : s + depth] = dp_scr[s : s + depth] | (
                         f31 & ~snap
                     )
-            found_scr[...] = found_scr[...] | newly
-            t = i + 1
+            if newly is not None:
+                found_scr[...] = found_scr[...] | newly
+            else:
+                found_scr[...] = found_scr[...] | m_scr[...]
             if i < 31:
                 # Bits 0-1 of the first-touch step t: direct per-step fold
                 # (their runs are too short for snapshot diffs to pay off).
-                for b in range(2):
-                    if (t >> b) & 1:
-                        s = b * depth
-                        dp_scr[s : s + depth] = dp_scr[s : s + depth] | newly
+                for b in fold_bits:
+                    s = b * depth
+                    dp_scr[s : s + depth] = dp_scr[s : s + depth] | newly
                 # Bits 2-4: bit b of t is set over runs of 2^b consecutive
                 # steps, and found is monotone, so the run's first-touch
                 # set telescopes to found_end & ~found_start — one snapshot
@@ -208,36 +250,26 @@ def _kernel(
             dp_scr[s : s + depth] = jnp.where(
                 hot != 0, dp_scr[s : s + depth] | win, dp_scr[s : s + depth]
             )
-        return 0
+        # Early exit: every needed (position, length<=cap) bit found means no
+        # later distance can change any emitted output (runs-class inputs
+        # saturate after a handful of windows; ~1% overhead on text).
+        missing = need_scr[0] & ~found_scr[0]
+        for k in range(1, depth):
+            missing = missing | (need_scr[k] & ~found_scr[k])
+        return widx + 1, jnp.any(missing != 0)
 
-    lax.fori_loop(0, n_windows, window, 0)
+    def cond(carry):
+        widx, live = carry
+        return (widx < n_windows) & live
+
+    lax.while_loop(cond, window, (jnp.int32(0), jnp.bool_(True)))
 
     # ---- in-kernel extraction --------------------------------------------
-    ve = scal_ref[0]
-    row = lax.broadcasted_iota(jnp.int32, (rr, LANES), 0)
-    col = lax.broadcasted_iota(jnp.int32, (rr, LANES), 1)
-    w = col * rr + row  # word index of each element
-
-    # Threshold mask M(T): bit j of word w set iff position w + j*nw < T.
-    def thresh_mask(T):
-        def jbody(j, acc):
-            return acc | (jnp.where(w < T - j * nw, 1, 0) << j)
-        return lax.fori_loop(0, 32, jbody, jnp.zeros((rr, LANES), jnp.int32))
-
-    def clear_bit(mask, t):
-        # clear the single bit at position t (no-op when t < 0)
-        tc = jnp.maximum(t, 0)
-        j = tc // nw
-        wt = tc - j * nw
-        hot = (w == wt) & (t >= 0)
-        return mask & ~(jnp.where(hot, 1, 0) << j)
-
-    # capped found: found_k & (cap >= k), cap >= k <=> position < H + ve - k.
-    T = H + ve
-    mk = thresh_mask(T - 1)
+    # capped found: found_k & need_k — need_scr carries the cap thresholds
+    # computed for the early-exit check (halo positions zeroed; their rows
+    # are sliced away by the caller).
     for k in range(depth):  # k-th entry = length k+1
-        m_scr[k] = found_scr[k] & mk
-        mk = clear_bit(mk, T - k - 2)
+        m_scr[k] = found_scr[k] & need_scr[k]
 
     # selection planes: mask_k picks positions whose capped L == k+1
     # (capped found is monotone in k), OR-combined over the distance planes.
@@ -347,6 +379,7 @@ def find_matches_bitplane_pallas(
             pltpu.VMEM((depth, rr, LANES), jnp.int32),
             pltpu.VMEM((dbits * depth, rr, LANES), jnp.int32),
             pltpu.VMEM((dbits, rr, LANES), jnp.int32),
+            pltpu.VMEM((depth, rr, LANES), jnp.int32),
         ],
     )
     scal = jnp.asarray(valid_ext, jnp.int32).reshape(1)

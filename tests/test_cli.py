@@ -133,3 +133,21 @@ def test_cli_large_la_with_bitplane_matcher(tmp_path, capsys):
     rc = cli.main(["-d", "-i", str(out), "-o", str(dec)])
     assert rc == 0
     assert dec.read_bytes() == data
+
+
+def test_cli_fused_pipeline(tmp_path, capsys):
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    out2 = tmp_path / "out2"
+    data = b"fused pipeline cli test " * 500
+    inp.write_bytes(data)
+    rc = cli.main(["-c", "-i", str(inp), "-o", str(out), "--pipeline",
+                   "fused", "--matcher", "chunked", "--block-size", "4096",
+                   "--report"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert '"pipeline": "fused"' in cap.err
+    rc = cli.main(["-c", "-i", str(inp), "-o", str(out2), "--matcher",
+                   "chunked", "--block-size", "4096"])
+    assert rc == 0
+    assert out.read_bytes() == out2.read_bytes()
