@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024        # int32 HBM tiling: DMA offsets must be TILE-aligned
 ROWS = 8           # sub-chunks per grid step (sublane divisibility)
 OVER = 128         # staged lookahead overlap (>= la; keeps lanes aligned)
+UNROLL = 4         # tokens per loop iteration (predicated; 4 < TILE)
 DEFAULT_CHUNK = 2048
 
 
@@ -53,11 +54,11 @@ def _kernel(scal_ref, lox_ref, out_ref, cnt_ref, exit_ref, buf, st, sem,
         st[0] = 0            # tokens emitted so far (flushed + partial)
         st[1] = scal_ref[0]  # chain position p (batch-absolute)
 
-    def flush(t):
-        # t is a multiple of TILE: flush the just-completed half.
-        half = ((t // TILE) - 1) % 2
+    def flush_tile(tile_idx):
+        # flush completed tile ``tile_idx`` from its ping-pong half.
+        half = tile_idx % 2
         src0 = pl.multiple_of(half * TILE, TILE)
-        dst0 = pl.multiple_of(t - TILE, TILE)
+        dst0 = pl.multiple_of(tile_idx * TILE, TILE)
         dma = pltpu.make_async_copy(
             buf.at[pl.ds(src0, TILE)], out_ref.at[pl.ds(dst0, TILE)], sem
         )
@@ -69,23 +70,38 @@ def _kernel(scal_ref, lox_ref, out_ref, cnt_ref, exit_ref, buf, st, sem,
         t, p0 = carry
         base = (gidx * ROWS + r) * chunk
         end = jnp.minimum(base + chunk, valid_total)
+        cap2 = chunk + OVER - 1
 
         def cond(s):
             _, p = s
             return p < end
 
         def body(s):
-            t, p = s
-            w = lox_ref[0, r, p - base]
-            ln = lax.shift_right_logical(w, 16) & 0xFF
-            off = w & 0xFFFF
-            w2 = lox_ref[0, r, p - base + ln]
-            nxt = lax.shift_right_logical(w2, 24) & 0xFF
-            v = off | (ln << ob) | (nxt << (ob + lb))
-            buf[t % (2 * TILE)] = v
-            t = t + 1
-            lax.cond(t % TILE == 0, flush, lambda _: 0, t)
-            return t, p + ln + 1
+            # UNROLL predicated token slots per iteration: an exhausted slot
+            # keeps writing to the frozen index t (only [0, t) is ever read)
+            # and stops advancing p, so no branches are needed inside the
+            # group; the loop/flush bookkeeping amortizes over the group.
+            t0, p = s
+            t = t0
+            for _ in range(UNROLL):
+                w = lox_ref[0, r, p - base]
+                ln = lax.shift_right_logical(w, 16) & 0xFF
+                off = w & 0xFFFF
+                w2 = lox_ref[0, r, jnp.minimum(p - base + ln, cap2)]
+                nxt = lax.shift_right_logical(w2, 24) & 0xFF
+                v = off | (ln << ob) | (nxt << (ob + lb))
+                buf[t % (2 * TILE)] = v
+                active = p < end
+                t = t + jnp.where(active, 1, 0)
+                p = jnp.where(active, p + ln + 1, p)
+            # at most one tile boundary per group (UNROLL < TILE)
+            lax.cond(
+                t // TILE > t0 // TILE,
+                lambda _: flush_tile(t // TILE - 1),
+                lambda _: 0,
+                0,
+            )
+            return t, p
 
         return lax.while_loop(cond, body, (t, p0))
 

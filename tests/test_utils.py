@@ -115,3 +115,26 @@ def test_encode_file_resume_after_crash(tmp_path, rng):
     plain = codec.encode_bytes(data, p, block_size=1024, batch_blocks=2)
     assert dst.read_bytes() == plain
     assert codec.decode_bytes(dst.read_bytes()) == data
+
+
+def test_profile_trace_captures(tmp_path, capsys):
+    """--profile must produce a loadable device trace directory (SURVEY.md
+    §5: the reference has no tracing at all)."""
+    import os
+
+    from lz77_tpu import cli
+
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    tracedir = tmp_path / "trace"
+    inp.write_bytes(b"profile trace test " * 200)
+    rc = cli.main(["-c", "-i", str(inp), "-o", str(out), "--matcher",
+                   "chunked", "--block-size", "2048",
+                   "--profile", str(tracedir)])
+    capsys.readouterr()
+    assert rc == 0
+    captured = []
+    for root, _, files in os.walk(tracedir):
+        captured += [f for f in files if f.endswith((".pb", ".json.gz",
+                                                     ".trace.json.gz"))]
+    assert captured, "no trace events captured"
