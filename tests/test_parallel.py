@@ -75,6 +75,52 @@ def test_sharded_pipeline_step_valid_stream(rng):
     assert codec.decode_bytes(stream) == data
 
 
+@pytest.mark.parametrize("n_data,n_win", [(8, 1), (4, 2)])
+def test_sharded_exact_step_identical_stream(n_data, n_win, rng):
+    """Exact entry-carried sharded step == serial host parse, byte for byte.
+
+    This is the fully fused device pipeline (match + parse + gather all on
+    device, entry composed over an ICI all_gather) with NO entry=0
+    compromise — the stream must equal codec.encode_bytes exactly, which
+    also preserves the size <= reference guarantee.
+    """
+    data = make_text(rng, 40_000)
+    p = spec.Params(la=15, sb=255)
+    m = mesh_lib.make_mesh(n_data=n_data, n_win=n_win)
+    s = sharded.encode_bytes_sharded(
+        data, p, mesh=m, block_size=2048, batch_blocks=8,
+        matcher="brute" if n_win > 1 else "sorted",
+    )
+    ref = codec.encode_bytes(data, p, block_size=2048, batch_blocks=8)
+    assert s == ref
+    assert codec.decode_bytes(s) == data
+
+
+def test_sharded_exact_step_ragged_and_empty(rng):
+    """Ragged tail (partial final block/batch) and empty input."""
+    p = spec.Params(la=15, sb=255)
+    m = mesh_lib.make_mesh(n_data=8, n_win=1)
+    data = make_text(rng, 33_123)
+    s = sharded.encode_bytes_sharded(
+        data, p, mesh=m, block_size=2048, batch_blocks=8
+    )
+    assert s == codec.encode_bytes(data, p, block_size=2048, batch_blocks=8)
+    assert sharded.encode_bytes_sharded(b"", p, mesh=m) == codec.encode_bytes(
+        b"", p
+    )
+
+
+def test_sharded_exact_step_runs_entry_carry(rng):
+    """Runs-heavy data maximizes cross-block token overhang (entry != 0)."""
+    data = (b"\x00" * 7000 + make_text(rng, 3000)) * 3
+    p = spec.Params(la=15, sb=255)
+    m = mesh_lib.make_mesh(n_data=4, n_win=1)
+    s = sharded.encode_bytes_sharded(
+        data, p, mesh=m, block_size=1024, batch_blocks=8
+    )
+    assert s == codec.encode_bytes(data, p, block_size=1024, batch_blocks=8)
+
+
 def test_distributed_partitioning():
     assert distributed.block_range(10, 3, 0) == (0, 4)
     assert distributed.block_range(10, 3, 1) == (4, 7)
