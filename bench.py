@@ -63,9 +63,11 @@ def run_suite(enc, dec, data: bytes) -> dict | None:
     if out != data:
         return None
     runs = b"\x00" * (4 << 20)
-    t0 = time.perf_counter()
-    rs = enc(runs)
-    dt_runs = time.perf_counter() - t0
+    dt_runs = float("inf")
+    for _ in range(2):  # best of 2: tolerate tunnel stall episodes
+        t0 = time.perf_counter()
+        rs = enc(runs)
+        dt_runs = min(dt_runs, time.perf_counter() - t0)
     if dec(rs) != runs:
         return None
     return {
@@ -138,53 +140,45 @@ def measure_tpu(size_mb: int) -> dict | None:
     tf1, tf5 = t_of_f(1), t_of_f(5)
     r["device_encode_mb_s"] = G * B / ((tf5 - tf1) / 4) / 1e6
 
-    # Honest device decode: the chunked pointer-doubling decoder genuinely
-    # on the TPU (slope-timed, tails chained on device).  Decode is
-    # zero-arithmetic pointer chasing, which TPUs have no gather hardware
-    # for — the host backend wins and decode_mb_s above reports THAT
-    # (backend labeled); this field is the true device number.
+    # Honest device decode: the scalar-core walk kernel genuinely on the
+    # TPU (ops/decode_walk.py — token replay through an SMEM ring buffer),
+    # slope-timed, verified bit-exact before timing.  The host backend
+    # still wins on raw MB/s and decode_mb_s above reports THAT (backend
+    # labeled); this field is the true device number.
     from lz77_tpu import bitio
-    from lz77_tpu.models import decoder as decoder_model
+    from lz77_tpu.ops import decode_walk
 
-    stream = fused.encode_bytes_fused(data[: 2 << 20], params, **kw)
+    stream = fused.encode_bytes_fused(data[: 4 << 20], params, **kw)
     p2, off, ln, nxt = bitio.parse_stream(stream)
-    CT = decoder_model.DEFAULT_CHUNK_TOKENS
-    T = min((off.shape[0] // CT) * CT, 4 * CT)
-    if T >= CT:
-        Hd = (1 << p2.off_bits) - 1
-        chunks = [
-            (
-                jax.device_put(jnp.asarray(off[c : c + CT].astype(np.int32))),
-                jax.device_put(jnp.asarray(ln[c : c + CT].astype(np.int32))),
-                jax.device_put(jnp.asarray(nxt[c : c + CT].astype(np.int32))),
-            )
-            for c in range(0, T, CT)
-        ]
-        in_bytes = int(ln[:T].sum()) + T
+    off = off.astype(np.int32)
+    ln = ln.astype(np.int32)
+    nxt = nxt.astype(np.int32)
+    T = int(off.shape[0])
+    if T and p2.off_bits <= decode_walk.MAX_OFF_BITS:
+        toks3d, ngd = decode_walk.stage_tokens(off, ln, nxt)
+        out_len = int(ln.sum()) + T
+        out_cap = -(-(out_len + 1) // decode_walk.TILE) * decode_walk.TILE
+        dargs = (jax.device_put(jnp.asarray(toks3d)), jnp.int32(T))
+        dkw = dict(
+            ng=ngd, tchunk=decode_walk.DEFAULT_TCHUNK,
+            off_bits=p2.off_bits, out_cap=out_cap,
+        )
+        out, cnt = decode_walk.walk_decode(*dargs, **dkw)
+        got = np.asarray(out.astype(jnp.uint8))[: int(cnt)].tobytes()
+        if got == data[: 4 << 20]:
+            def t_of_d(k: int) -> float:
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    c = None
+                    for _ in range(k):
+                        _, c = decode_walk.walk_decode(*dargs, **dkw)
+                    np.asarray(c)
+                    best = min(best, time.perf_counter() - t0)
+                return best
 
-        def drun():
-            tail = jnp.zeros((Hd,), jnp.uint8)
-            for o, l, x in chunks:
-                _, _, tail = decoder_model._decode_chunk(
-                    o, l, x, jnp.int32(CT), tail, la=p2.la
-                )
-            return tail
-
-        np.asarray(drun())
-
-        def t_of_d(k: int) -> float:
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                tl = None
-                for _ in range(k):
-                    tl = drun()
-                np.asarray(tl)
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        td1, td3 = t_of_d(1), t_of_d(3)
-        r["device_decode_mb_s"] = in_bytes / ((td3 - td1) / 2) / 1e6
+            td1, td3 = t_of_d(1), t_of_d(3)
+            r["device_decode_mb_s"] = out_len / ((td3 - td1) / 2) / 1e6
     r["decode_backend"] = "cpu-native"
 
     # Device-resident match-kernel throughput: the number that carries to a

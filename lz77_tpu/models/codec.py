@@ -466,8 +466,10 @@ def decode_bytes(data: bytes, backend: str = "auto") -> bytes:
     Decode is zero-arithmetic pointer-chasing: 1-D dynamic gathers are a
     slow path on TPU vector units, so the default is the native serial C
     decoder (``backend='native'``), falling back to the vectorized numpy
-    pointer-doubling decode (``backend='host'``).  ``backend='device'`` uses
-    the chunked device decoder (for device-resident pipelines).
+    pointer-doubling decode (``backend='host'``).  ``backend='device'`` runs
+    on the accelerator: the scalar-core walk kernel (ops/decode_walk.py)
+    when the stream's window fits its SMEM ring, else the chunked
+    pointer-doubling decoder.
     """
     if backend == "auto":
         backend = "native" if _NATIVE else "host"
@@ -477,4 +479,13 @@ def decode_bytes(data: bytes, backend: str = "auto") -> bytes:
         from . import host_decode
 
         return host_decode.decode(data)
+    if backend == "device":
+        from ..ops import decode_walk
+
+        params, off, ln, nxt = bitio.parse_stream(data)
+        if params.off_bits <= decode_walk.MAX_OFF_BITS:
+            return decode_walk.decode_tokens_walk(
+                off.astype(np.int32), ln.astype(np.int32),
+                nxt.astype(np.int32), off_bits=params.off_bits,
+            )
     return decoder_model.decode_stream(data)

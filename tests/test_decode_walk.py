@@ -1,0 +1,73 @@
+"""Scalar-core decode walk kernel (interpret mode on CPU).
+
+The kernel replays the reference decoder's byte-serial copy loop
+(lz77.c:164-195) on the TensorCore scalar unit; these tests assert it is
+byte-exact against the host decoder on every input class, including the
+overlapping-copy (off < len) RLE case the reference leans on for runs.
+"""
+
+import numpy as np
+import pytest
+
+from lz77_tpu import bitio, spec
+from lz77_tpu.models import codec
+from lz77_tpu.ops import decode_walk
+
+from conftest import make_text
+
+
+def _walk_decode(stream: bytes, tchunk: int = 256) -> bytes:
+    p, off, ln, nxt = bitio.parse_stream(stream)
+    return decode_walk.decode_tokens_walk(
+        off.astype(np.int32), ln.astype(np.int32), nxt.astype(np.int32),
+        off_bits=p.off_bits, tchunk=tchunk, interpret=True,
+    )
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda rng: make_text(rng, 100_000),
+        lambda rng: b"\x00" * 50_000,                      # overlap off<len
+        lambda rng: b"ab" * 25_000,                        # period-2 overlap
+        lambda rng: rng.integers(0, 256, 30_000, dtype=np.uint8).tobytes(),
+        lambda rng: b"A",
+        lambda rng: b"",
+    ],
+)
+def test_walk_decode_matches_host(make, rng):
+    data = make(rng)
+    stream = codec.encode_bytes(data, spec.Params())
+    assert _walk_decode(stream) == data
+    assert codec.decode_bytes(stream) == data
+
+
+def test_walk_decode_nondefault_params(rng):
+    """Non-default (still byte-aligned-irrelevant) window parameters."""
+    data = make_text(rng, 40_000)
+    p = spec.Params(la=32, sb=255)
+    stream = codec.encode_bytes(data, p)
+    assert _walk_decode(stream) == data
+
+
+def test_walk_decode_c_oracle_stream(oracle, rng):
+    """Decode a stream the C reference encoder produced."""
+    data = make_text(rng, 60_000)
+    assert _walk_decode(oracle.encode(data)) == data
+
+
+def test_walk_decode_off_bits_gate():
+    """Windows wider than the SMEM ring are rejected (host path handles)."""
+    with pytest.raises(ValueError):
+        decode_walk.walk_decode(
+            np.zeros((1, decode_walk.ROWS, 256), np.int32),
+            1, ng=1, tchunk=256, off_bits=16, out_cap=decode_walk.TILE,
+            interpret=True,
+        )
+
+
+def test_walk_decode_tile_boundary_runs(rng):
+    """Many tiny tokens forcing multi-tile flushes inside one sub-chunk."""
+    data = bytes(rng.integers(0, 4, 12_000, dtype=np.uint8))
+    stream = codec.encode_bytes(data, spec.Params(la=3, sb=255))
+    assert _walk_decode(stream, tchunk=128) == data
