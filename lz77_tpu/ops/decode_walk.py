@@ -46,6 +46,7 @@ TILE = 1024        # int32 HBM tiling: DMA offsets must be TILE-aligned
 ROWS = 8           # token sub-chunks per grid step
 DEFAULT_TCHUNK = 2048
 MAX_OFF_BITS = 13  # ring = 2^(off_bits+1) int32 words of SMEM (<= 64 KiB)
+UNROLL_COPY = 2    # predicated copy slots per loop iteration (measured best)
 
 
 def _kernel(scal_ref, tok_ref, out_ref, cnt_ref, ring, st, sem,
@@ -90,9 +91,17 @@ def _kernel(scal_ref, tok_ref, out_ref, cnt_ref, ring, st, sem,
                 return j < ln
 
             def copy_body(c):
+                # UNROLL_COPY predicated slots: an exhausted slot rewrites
+                # the frozen position q (whose old content is position
+                # q - RB, unreachable since off < RB) and stops advancing,
+                # so the group needs no internal branches.
                 j, q = c
-                ring[q & mask] = ring[(q - off) & mask]
-                return j + 1, q + 1
+                for _ in range(UNROLL_COPY):
+                    ring[q & mask] = ring[(q - off) & mask]
+                    act = j < ln
+                    j = j + jnp.where(act, 1, 0)
+                    q = q + jnp.where(act, 1, 0)
+                return j, q
 
             _, p = lax.while_loop(copy_cond, copy_body, (0, p))
             ring[p & mask] = nxt
