@@ -288,7 +288,9 @@ def _decode(data: bytes, args):
         return native.decode(data), {"backend": "native"}
     from .models import codec
 
-    return codec.decode_bytes(data), {"backend": "jax"}
+    st = codec.DecodeStats()
+    out = codec.decode_bytes(data, stats=st)
+    return out, {"backend": "jax", "decode_backend": st.backend}
 
 
 if __name__ == "__main__":
