@@ -81,10 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Resume a previous encode from --manifest")
     p.add_argument("--backend", choices=("jax", "native", "numpy"),
                    default="jax", help="Execution backend")
-    p.add_argument("--pipeline", choices=("host", "fused"), default="host",
+    p.add_argument("--pipeline", choices=("host", "fused", "sharded"),
+                   default="host",
                    help="jax-backend encode pipeline: 'host' = device match "
                         "+ host parse; 'fused' = device-resident "
-                        "match+parse+pack (byte-aligned token widths)")
+                        "match+parse+pack (byte-aligned token widths); "
+                        "'sharded' = the multi-chip pipeline over a device "
+                        "mesh (see --mesh)")
+    p.add_argument("--mesh", default=None, metavar="DATAxWIN",
+                   help="Device mesh shape for --pipeline sharded, e.g. "
+                        "'4x2' = 4-way data (block) axis x 2-way window "
+                        "(distance) axis; default: all devices on the data "
+                        "axis")
     p.add_argument("--threads", type=int, default=None,
                    help="Native-backend encoder threads (default: all cores; "
                         "the parallel encoder emits byte-identical streams)")
@@ -259,6 +267,30 @@ def _encode(data: bytes, params: spec.Params, args):
 
         out = fused.encode_bytes_fused(
             data, params, matcher=args.matcher, stats=stats, **kwargs
+        )
+    elif args.pipeline == "sharded":
+        import jax
+
+        from .parallel import mesh as mesh_lib
+        from .parallel import sharded
+
+        if args.mesh:
+            try:
+                n_data, n_win = (int(v) for v in args.mesh.lower().split("x"))
+            except ValueError:
+                raise ValueError(
+                    f"--mesh must look like '4x2', got {args.mesh!r}"
+                ) from None
+            mesh = mesh_lib.make_mesh(n_data=n_data, n_win=n_win)
+        else:
+            mesh = mesh_lib.make_mesh()
+        on_cpu = jax.devices()[0].platform == "cpu"
+        kwargs.setdefault(
+            "batch_blocks", 2 * mesh.shape[mesh_lib.DATA_AXIS]
+        )
+        out = sharded.encode_bytes_sharded(
+            data, params, mesh=mesh, matcher=args.matcher, stats=stats,
+            interpret=on_cpu, **kwargs
         )
     else:
         out = codec.encode_bytes(

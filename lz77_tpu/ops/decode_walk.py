@@ -46,7 +46,7 @@ TILE = 1024        # int32 HBM tiling: DMA offsets must be TILE-aligned
 ROWS = 8           # token sub-chunks per grid step
 DEFAULT_TCHUNK = 2048
 MAX_OFF_BITS = 13  # ring = 2^(off_bits+1) int32 words of SMEM (<= 64 KiB)
-UNROLL_COPY = 2    # predicated copy slots per loop iteration (measured best)
+GROUP = 4          # independent copy slots per fast-path step (off >= GROUP)
 
 
 def _kernel(scal_ref, tok_ref, out_ref, cnt_ref, ring, st, sem,
@@ -84,28 +84,74 @@ def _kernel(scal_ref, tok_ref, out_ref, cnt_ref, ring, st, sem,
             w = tok_ref[0, r, i]
             off = w & 0xFFFF
             ln = lax.shift_right_logical(w, 16) & 0xFF
-            nxt = lax.shift_right_logical(w, 24) & 0xFF
+            nxt = lax.shift_right_logical(w, 24)
+            qe = p + ln
 
-            def copy_cond(c):
-                j, _ = c
-                return j < ln
+            # ---- copy: one branch per token on the overlap class, the
+            # same off/len split the native decoder uses
+            # (lz77host.cpp:578-584).
+            def fast(_):
+                # off >= GROUP: GROUP-wide wildcopy steps, software-
+                # pipelined (all loads issued before any store, legal
+                # because sources sit >= GROUP behind the destination
+                # group).  Overshoot of up to GROUP-1 bytes past the token
+                # end is safe: overshoot bytes land on FUTURE positions,
+                # each rewritten in order (by the next token's copies or
+                # literal) before anything reads it, and tiles only flush
+                # up to p so overshoot never reaches HBM early.
+                def g(c):
+                    q1, s1 = c
+                    v0 = ring[s1 & mask]
+                    v1 = ring[(s1 + 1) & mask]
+                    v2 = ring[(s1 + 2) & mask]
+                    v3 = ring[(s1 + 3) & mask]
+                    ring[q1 & mask] = v0
+                    ring[(q1 + 1) & mask] = v1
+                    ring[(q1 + 2) & mask] = v2
+                    ring[(q1 + 3) & mask] = v3
+                    return q1 + GROUP, s1 + GROUP
 
-            def copy_body(c):
-                # UNROLL_COPY predicated slots: an exhausted slot rewrites
-                # the frozen position q (whose old content is position
-                # q - RB, unreachable since off < RB) and stops advancing,
-                # so the group needs no internal branches.
-                j, q = c
-                for _ in range(UNROLL_COPY):
-                    ring[q & mask] = ring[(q - off) & mask]
-                    act = j < ln
-                    j = j + jnp.where(act, 1, 0)
-                    q = q + jnp.where(act, 1, 0)
-                return j, q
+                lax.while_loop(lambda c: c[0] < qe, g, (p, p - off))
+                return 0
 
-            _, p = lax.while_loop(copy_cond, copy_body, (0, p))
-            ring[p & mask] = nxt
-            p = p + 1
+            def splat(_):
+                # off == 1: the copy replicates ONE byte (the reference's
+                # RLE-on-runs workhorse, lz77.c:178-188 with off=1) —
+                # load once, then store-only wildcopy groups.
+                v = ring[(p - 1) & mask]
+
+                def g(q1):
+                    ring[q1 & mask] = v
+                    ring[(q1 + 1) & mask] = v
+                    ring[(q1 + 2) & mask] = v
+                    ring[(q1 + 3) & mask] = v
+                    return q1 + 4
+
+                lax.while_loop(lambda q1: q1 < qe, g, p)
+                return 0
+
+            def slow(_):
+                # off in {2, 3}: overlapping copy, byte-serial (predicated
+                # pair: an exhausted slot idempotently rewrites the frozen
+                # position and stops advancing).  off==0 (pure literal)
+                # never enters (ln==0); a malformed off=0,ln>0 token
+                # self-copies garbage but terminates, like the host
+                # decoders.
+                def cb(q1):
+                    for _ in range(2):
+                        ring[q1 & mask] = ring[(q1 - off) & mask]
+                        q1 = q1 + jnp.where(q1 < qe, 1, 0)
+                    return q1
+
+                lax.while_loop(lambda q1: q1 < qe, cb, p)
+                return 0
+
+            lax.cond(
+                off >= GROUP, fast,
+                lambda a: lax.cond(off == 1, splat, slow, a), 0,
+            )
+            ring[qe & mask] = nxt
+            p = qe + 1
 
             # flush every completed tile (a token can cross at most one
             # TILE boundary per ~255 bytes, but runs of tokens can cross

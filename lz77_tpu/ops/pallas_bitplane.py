@@ -124,6 +124,7 @@ def _kernel(
     H: int,
     nw: int,
     rr: int,
+    record_offsets: bool = True,
 ):
     P = planes_ref[0]
     sp_scr[...] = P
@@ -157,6 +158,34 @@ def _kernel(
     for k in range(depth):
         need_scr[k] = mk0 & ~halo_mask
         mk0 = _clear(mk0, H + ve0 - k - 2)
+
+    def window_lengths_only(carry):
+        # Measurement-only sweep variant (see find_matches_bitplane_pallas
+        # record_offsets=False): identical run-mask + found + early-exit
+        # work, but ALL first-touch offset machinery (newly, distance-bit
+        # folds, snapshots) removed — the upper bound on any
+        # offset-recovery rewrite (docs/ROOFLINE.md).
+        widx, _ = carry
+        base = widx * 32
+        for i in range(32):
+            spn = _rot_src(sp_scr[...])
+            sp_scr[...] = spn
+            acc = spn[0] ^ P[0]
+            for b in range(1, 8):
+                acc = acc | (spn[b] ^ P[b])
+            eq = ~acc & spn[8]
+            d = base + i + 1
+            eq = jnp.where(d <= dlim, eq, 0)
+            m_scr[0] = eq
+            m = eq
+            for k in range(1, depth):
+                m = m & _rot_pos(eq, k)
+                m_scr[k] = m
+            found_scr[...] = found_scr[...] | m_scr[...]
+        missing = need_scr[0] & ~found_scr[0]
+        for k in range(1, depth):
+            missing = missing | (need_scr[k] & ~found_scr[k])
+        return widx + 1, jnp.any(missing != 0)
 
     def window(carry):
         widx, _ = carry
@@ -262,7 +291,11 @@ def _kernel(
         widx, live = carry
         return (widx < n_windows) & live
 
-    lax.while_loop(cond, window, (jnp.int32(0), jnp.bool_(True)))
+    lax.while_loop(
+        cond,
+        window if record_offsets else window_lengths_only,
+        (jnp.int32(0), jnp.bool_(True)),
+    )
 
     # ---- in-kernel extraction --------------------------------------------
     # capped found: found_k & need_k — need_scr carries the cap thresholds
@@ -273,21 +306,25 @@ def _kernel(
 
     # selection planes: mask_k picks positions whose capped L == k+1
     # (capped found is monotone in k), OR-combined over the distance planes.
-    for b in range(dbits):
-        acc = jnp.zeros((rr, LANES), jnp.int32)
-        for k in range(depth):
-            nxt = m_scr[k + 1] if k + 1 < depth else jnp.zeros(
-                (rr, LANES), jnp.int32
-            )
-            acc = acc | (m_scr[k] & ~nxt & dp_scr[b * depth + k])
-        dsel_scr[b] = acc
+    if record_offsets:
+        for b in range(dbits):
+            acc = jnp.zeros((rr, LANES), jnp.int32)
+            for k in range(depth):
+                nxt = m_scr[k + 1] if k + 1 < depth else jnp.zeros(
+                    (rr, LANES), jnp.int32
+                )
+                acc = acc | (m_scr[k] & ~nxt & dp_scr[b * depth + k])
+            dsel_scr[b] = acc
 
     def unpack(j, _):
         cf = m_scr[...]
         l = ((cf >> j) & 1).sum(axis=0)
-        dv = (dsel_scr[0] >> j) & 1
-        for b in range(1, dbits):
-            dv = dv | (((dsel_scr[b] >> j) & 1) << b)
+        if record_offsets:
+            dv = (dsel_scr[0] >> j) & 1
+            for b in range(1, dbits):
+                dv = dv | (((dsel_scr[b] >> j) & 1) << b)
+        else:
+            dv = jnp.ones((rr, LANES), jnp.int32)  # measurement-only sentinel
         l_out[0, pl.ds(j, 1)] = l[None]
         o_out[0, pl.ds(j, 1)] = jnp.where(l > 0, dv, 0)[None]
         return 0
@@ -305,8 +342,15 @@ def find_matches_bitplane_pallas(
     la: int,
     sb: int,
     interpret: bool = False,
+    record_offsets: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Same contract as ``ops.match.find_matches_brute`` (Pallas bit-plane)."""
+    """Same contract as ``ops.match.find_matches_brute`` (Pallas bit-plane).
+
+    ``record_offsets=False`` is a MEASUREMENT-ONLY variant: it runs the
+    identical sweep minus all first-touch offset machinery and returns
+    O = 1 sentinels — the measured upper bound for any lengths-only +
+    offset-recovery redesign (docs/ROOFLINE.md).  Never used by the codec.
+    """
     B = block.shape[0]
     depth = spec.len_limit(la)
     dlim = spec.d_limit(sb)
@@ -352,7 +396,7 @@ def find_matches_bitplane_pallas(
 
     kernel = functools.partial(
         _kernel, depth=depth, dlim=dlim, dbits=dbits, n_windows=n_windows,
-        H=H, nw=nw, rr=rr,
+        H=H, nw=nw, rr=rr, record_offsets=record_offsets,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

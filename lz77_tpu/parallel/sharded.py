@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
@@ -304,6 +305,192 @@ def make_sharded_exact_step(
     )
 
 
+# ---------------------------------------------------------------------------
+# Device-resident sharded walk pipeline (speculative parse + host resync)
+# ---------------------------------------------------------------------------
+
+def make_sharded_walk_step(
+    mesh, params: spec.Params, *, matcher: str = "sorted",
+    chunk: int | None = None, interpret: bool = False,
+):
+    """Fully device-resident sharded step: match + walk-parse + pack per chip.
+
+    Replaces the reference's serial token loop AND bit writer (lz77.c:89-136,
+    246-251) across chips with zero XLA gathers: each shard computes its
+    blocks' match tables (bit-plane Pallas kernels on TPU), then runs the
+    scalar-core walk kernel (ops/parse_walk.py) over its contiguous span,
+    parsing SPECULATIVELY from entry 0 and emitting compacted packed token
+    words.  The cross-shard entry chain is resolved by the host with the
+    same resync-splice trick the native block-parallel encoder uses
+    (native/lz77host.cpp:269-528): greedy chains from different entries
+    merge at the first shared token start, so a shard whose true entry is
+    nonzero needs only a tiny window re-parse + splice, not a re-walk.
+
+    Returns ``step(blocks, halos, rights, avails, valid_exts, valid_total)
+    -> (tokens, counts, exits, l_head, o_head)`` where ``tokens`` is the
+    per-shard concatenation of (Tcap,) packed-word buffers, ``counts`` /
+    ``exits`` are per-shard token counts and entry-0 exit overhangs, and
+    ``l_head``/``o_head`` are each shard's leading match-table window
+    (RESYNC_WINDOW wide) so the host can resync without bulk fetches.
+    """
+    la, sb = params.la, params.sb
+    if params.width % 8 != 0:
+        raise ValueError("sharded walk pipeline requires byte-aligned width")
+    from ..ops import parse_walk
+
+    if la > parse_walk.OVER:
+        raise ValueError("walk parser supports la <= 128")
+    ob, lb = params.off_bits, params.len_bits
+    dlim = params.d_limit
+    n_win = mesh.shape[mesh_lib.WIN_AXIS]
+    per = _cdiv(max(dlim, 1), n_win)
+    chunk = chunk or parse_walk.DEFAULT_CHUNK
+
+    def local(blocks, halos, rights, avails, valid_exts, valid_total):
+        Gd, B = blocks.shape
+        N = Gd * B
+
+        # ---- match tables (win axis splits the distance search) ----------
+        if n_win == 1:
+            find = match_ops.get_matcher(matcher)
+            fn = functools.partial(find, la=la, sb=sb)
+            L, O = jax.vmap(fn)(blocks, halos, rights, avails, valid_exts)
+        else:
+            w = lax.axis_index(mesh_lib.WIN_AXIS)
+            d_lo = 1 + w * per
+            d_hi = jnp.minimum(dlim + 1, d_lo + per)
+            fnr = functools.partial(
+                match_ops.find_matches_brute_range, la=la, sb=sb
+            )
+            L, O = jax.vmap(
+                lambda b, h, r, a, v: fnr(b, h, r, a, v, d_lo, d_hi)
+            )(blocks, halos, rights, avails, valid_exts)
+            key = match_ops.combine_key(L, O, dlim)
+            key = lax.pmax(key, mesh_lib.WIN_AXIS)
+            L, O = match_ops.split_key(key, dlim)
+        L = L.reshape(N).astype(jnp.int32)
+        O = O.reshape(N).astype(jnp.int32)
+
+        # ---- speculative walk parse + pack over the shard span ------------
+        didx = lax.axis_index(mesh_lib.DATA_AXIS)
+        vt_local = jnp.clip(valid_total - didx * N, 0, N)
+        nc, ng, Tcap = parse_walk.walk_geometry(N, chunk)
+        lox = parse_walk.build_lox(
+            L, O, blocks.reshape(N), rights[Gd - 1], nc * chunk
+        )
+        lox3d = parse_walk.stage_lox(lox, chunk, ng)
+        tokens, cnt, exit_e = parse_walk.walk_parse_pack(
+            lox3d, jnp.int32(0), vt_local,
+            ng=ng, chunk=chunk, ob=ob, lb=lb, interpret=interpret,
+        )
+        W = min(RESYNC_WINDOW, N)
+        return (
+            tokens, cnt[None], exit_e[None], L[:W][None], O[:W][None]
+        )
+
+    d = mesh_lib.DATA_AXIS
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(d), P(d), P(d), P(d), P(d), P()),
+            out_specs=(P(d), P(d), P(d), P(d), P(d)),
+            check_vma=False,
+        )
+    )
+
+
+RESYNC_WINDOW = 8192  # leading match-table bytes returned per shard
+
+
+def _spec_starts(words: np.ndarray, lb: int, ob: int, entry: int, cap: int):
+    """Speculative chain start positions (< cap) from packed token words."""
+    lens = (words.astype(np.int64) >> ob) & ((1 << lb) - 1)
+    starts = entry + np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
+    k = np.searchsorted(starts, cap, side="left")
+    return starts[:k]
+
+
+def _resync_shard(
+    words: np.ndarray,        # (cnt,) speculative packed words (entry 0)
+    entry: int,               # true entry in [0, la)
+    vt: int,                  # valid bytes in this shard's span
+    Lh: np.ndarray,           # (W,) leading match lengths
+    Oh: np.ndarray,           # (W,) leading offsets
+    xs: np.ndarray,           # (>= vt + la,) shard input bytes + tail
+    params: spec.Params,
+    fetch_full,               # () -> (L, O) over the whole span (fallback)
+):
+    """Splice the true-entry token stream from the speculative one.
+
+    Greedy chains from different entries merge at the first position both
+    visit; after that every token is shared (the native MT encoder's resync
+    property, lz77host.cpp:269-528).  Walk the true chain over the leading
+    match-table window; on merge, emit (prefix tokens) + (speculative
+    suffix).  If the chains have not merged within the window (adversarial
+    never-resync inputs — same class tests/test_native.py covers), fetch
+    the full match table and re-parse natively.
+
+    Returns (words, exit_overhang).
+    """
+    from ..models import codec as codec_model
+    from .. import native as native_lib
+
+    ob, lb = params.off_bits, params.len_bits
+
+    def build_words(pos: np.ndarray, L: np.ndarray, O: np.ndarray):
+        ln = L[pos].astype(np.int64)
+        off = O[pos].astype(np.int64)
+        nxt = xs[pos + ln].astype(np.int64)
+        return (off | (ln << ob) | (nxt << (ob + lb))).astype(np.int32)
+
+    W = Lh.shape[0]
+    if vt <= W:
+        # window covers the whole span: direct exact parse, then splice
+        # against the speculative starts if they merge (cheap) or replace.
+        starts, exit_pos = codec_model.parse_block_np(
+            Lh.astype(np.int64), vt, entry, params.la
+        )
+        s0 = _spec_starts(words, lb, ob, 0, vt)
+        common = np.intersect1d(starts, s0)
+        if common.shape[0]:
+            m = int(common[0])
+            pre = starts[starts < m]
+            r = int(np.searchsorted(s0, m))
+            out = np.concatenate([build_words(pre, Lh, Oh), words[r:]])
+        else:
+            out = build_words(starts, Lh, Oh)
+        return out, int(exit_pos) - vt
+
+    starts, exit_pos = codec_model.parse_block_np(
+        Lh.astype(np.int64), W, entry, params.la
+    )
+    s0 = _spec_starts(words, lb, ob, 0, W)
+    common = np.intersect1d(starts, s0)
+    if common.shape[0]:
+        m = int(common[0])
+        pre = starts[starts < m]
+        r = int(np.searchsorted(s0, m))
+        # merged: suffix (and therefore the exit) is shared with the
+        # speculative parse.
+        return (
+            np.concatenate([build_words(pre, Lh, Oh), words[r:]]),
+            None,  # exit unchanged (speculative exit stands)
+        )
+
+    # never-resync within the window: bulk fallback (rare, adversarial).
+    L, O = fetch_full()
+    if native_lib.available():
+        starts, exit_pos = native_lib.parse_block(
+            L.astype(np.uint8), vt, entry
+        )
+    else:
+        starts, exit_pos = codec_model.parse_block_np(
+            L.astype(np.int64), vt, entry, params.la
+        )
+    return build_words(np.asarray(starts), L, O), int(exit_pos) - vt
+
+
 def encode_bytes_sharded(
     data: bytes,
     params: spec.Params | None = None,
@@ -312,12 +499,16 @@ def encode_bytes_sharded(
     block_size: int | None = None,
     batch_blocks: int | None = None,
     matcher: str = "sorted",
+    chunk: int | None = None,
+    interpret: bool = False,
+    stats=None,
 ) -> bytes:
-    """Compress via the exact sharded step; stream == serial host parse.
+    """Compress via the sharded device pipeline; stream == serial host parse.
 
-    Blocks are sharded over the mesh's ``data`` axis; the parse entry is
-    carried across batches as a device scalar (replicated), so arbitrarily
-    long inputs stream through a fixed-size compiled step.
+    Blocks are sharded over the mesh's ``data`` axis.  Byte-aligned token
+    widths run the device-resident walk pipeline (match + scalar-core parse
+    + pack per chip, ~0.5 B/input-byte host traffic); non-byte-aligned
+    widths fall back to the exact XLA step + host bit pack.
     """
     import numpy as np
 
@@ -336,14 +527,133 @@ def encode_bytes_sharded(
         )
     x = np.frombuffer(data, dtype=np.uint8)
     n = x.shape[0]
+    st = stats if stats is not None else codec_model.EncodeStats()
+    st.input_bytes = n
     if n == 0:
+        st.output_bytes = spec.HEADER_BYTES
         return bitio.header_bytes(params)
     H, R = params.d_limit, params.len_limit
     nblocks = _cdiv(n, B)
     num_batches = _cdiv(nblocks, G)
+
+    from ..ops import parse_walk
+
+    use_walk = params.width % 8 == 0 and params.la <= parse_walk.OVER
+    if not use_walk:
+        return _encode_bytes_sharded_xla(
+            x, n, params, mesh, B, G, nblocks, num_batches, matcher, st
+        )
+
+    step = make_sharded_walk_step(
+        mesh, params, matcher=matcher, chunk=chunk, interpret=interpret
+    )
+    Gd = G // n_data
+    span = Gd * B            # bytes per shard
+    nb_bytes = params.width // 8
+    _, _, Tcap = parse_walk.walk_geometry(span, chunk or parse_walk.DEFAULT_CHUNK)
+
+    def submit(bi: int):
+        g0 = bi * G
+        gn = min(G, nblocks - g0)
+        gb, gh, gr, ga, gv = codec_model._batch_inputs(x, n, g0, gn, G, B, H, R)
+        vt = min(G * B, n - g0 * B)
+        return bi, vt, step(
+            jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
+            jnp.asarray(ga), jnp.asarray(gv), jnp.int32(vt),
+        )
+
+    parts: list[bytes] = [bitio.header_bytes(params)]
+    entry = 0
+    total_tokens = 0
+
+    def process(handle):
+        nonlocal entry, total_tokens
+        bi, vt_batch, (tokens, counts, exits, l_head, o_head) = handle
+        counts_h = np.asarray(counts)
+        exits_h = np.asarray(exits)
+        for i in range(n_data):
+            vt_i = max(0, min(span, vt_batch - i * span))
+            if vt_i == 0:
+                continue  # padded shard: entry passes through unchanged
+            c = int(counts_h[i])
+            # bucketed fetch: few distinct compiled device slices
+            bk = min(1 << max(12, (c - 1).bit_length()), Tcap)
+            words = np.asarray(tokens[i * Tcap : i * Tcap + bk])[:c]
+            if entry == 0:
+                exit_over = int(exits_h[i])
+            else:
+                span0 = (bi * G * B) + i * span
+                xs = x[span0 : min(n, span0 + span + params.la)]
+                if xs.shape[0] < vt_i + params.la:
+                    xs = np.concatenate([
+                        xs, np.zeros(vt_i + params.la - xs.shape[0], np.uint8)
+                    ])
+                Lh = np.asarray(l_head[i])
+                Oh = np.asarray(o_head[i])
+
+                def fetch_full(i=i):
+                    # adversarial never-resync fallback: one bulk fetch of
+                    # the shard's match table, then a native re-parse.
+                    gb, gh, gr, ga, gv = codec_model._batch_inputs(
+                        x, n, bi * G + i * Gd, min(Gd, nblocks - bi * G - i * Gd),
+                        Gd, B, H, R
+                    )
+                    from ..models import encoder as encoder_model
+
+                    find = match_ops.get_matcher(
+                        match_ops.route_matcher(matcher, params.la)
+                    )
+                    fn = functools.partial(find, la=params.la, sb=params.sb)
+                    L, O = jax.vmap(fn)(
+                        jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
+                        jnp.asarray(ga), jnp.asarray(gv)
+                    )
+                    return (
+                        np.asarray(L).reshape(-1)[:span],
+                        np.asarray(O).reshape(-1)[:span],
+                    )
+
+                words, exit_over = _resync_shard(
+                    words, entry, vt_i, Lh, Oh, xs, params, fetch_full
+                )
+                if exit_over is None:
+                    exit_over = int(exits_h[i])
+            parts.append(
+                words.view(np.uint8).reshape(-1, 4)[:, :nb_bytes].tobytes()
+            )
+            total_tokens += words.shape[0]
+            entry = exit_over
+
+    pending = None
+    for bi in range(num_batches):
+        nxt = submit(bi)
+        if pending is not None:
+            process(pending)
+        pending = nxt
+    if pending is not None:
+        process(pending)
+
+    st.tokens = total_tokens
+    st.blocks = nblocks
+    stream = b"".join(parts)
+    st.output_bytes = len(stream)
+    return stream
+
+
+def _encode_bytes_sharded_xla(
+    x, n, params, mesh, B, G, nblocks, num_batches, matcher, st
+) -> bytes:
+    """Exact XLA sharded step + host bit pack (non-byte-aligned widths)."""
+    import numpy as np
+
+    from .. import bitio
+    from ..models import codec as codec_model
+
+    H, R = params.d_limit, params.len_limit
     step = make_sharded_exact_step(mesh, params, matcher=matcher)
 
     chunks: list[np.ndarray] = []
+    total_tokens = 0
     entry = jnp.int32(0)
     for bi in range(num_batches):
         g0 = bi * G
@@ -357,9 +667,14 @@ def encode_bytes_sharded(
         counts_h = np.asarray(counts)
         for i in range(gn):
             c = int(counts_h[i])
+            total_tokens += c
             chunks.append(
                 bitio.tokens_to_bits(
                     off_h[i, :c], ln_h[i, :c], nxt_h[i, :c], params
                 )
             )
-    return bitio.concat_token_bits(chunks, params)
+    st.tokens = total_tokens
+    st.blocks = nblocks
+    stream = bitio.concat_token_bits(chunks, params)
+    st.output_bytes = len(stream)
+    return stream

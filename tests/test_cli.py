@@ -151,3 +151,34 @@ def test_cli_fused_pipeline(tmp_path, capsys):
                    "chunked", "--block-size", "4096"])
     assert rc == 0
     assert out.read_bytes() == out2.read_bytes()
+
+
+def test_cli_sharded_pipeline(tmp_path, capsys):
+    """--pipeline sharded over an explicit --mesh produces the exact same
+    stream as the host pipeline (the multi-chip path is a product surface,
+    not a test fixture)."""
+    inp = tmp_path / "in"
+    out = tmp_path / "out"
+    out2 = tmp_path / "out2"
+    data = b"sharded pipeline cli test " * 800
+    inp.write_bytes(data)
+    rc = cli.main(["-c", "-i", str(inp), "-o", str(out), "--pipeline",
+                   "sharded", "--mesh", "4x2", "--matcher", "brute",
+                   "--block-size", "1024", "--report"])
+    cap = capsys.readouterr()
+    assert rc == 0
+    assert '"pipeline": "sharded"' in cap.err
+    rc = cli.main(["-c", "-i", str(inp), "-o", str(out2), "--matcher",
+                   "chunked", "--block-size", "1024", "--batch-blocks", "8"])
+    assert rc == 0
+    assert out.read_bytes() == out2.read_bytes()
+
+
+def test_cli_sharded_bad_mesh(tmp_path, capsys):
+    inp = tmp_path / "in"
+    inp.write_bytes(b"x" * 100)
+    rc = cli.main(["-c", "-i", str(inp), "-o", str(tmp_path / "o"),
+                   "--pipeline", "sharded", "--mesh", "banana"])
+    cap = capsys.readouterr()
+    assert rc == 1
+    assert "--mesh" in cap.err

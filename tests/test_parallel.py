@@ -121,6 +121,71 @@ def test_sharded_exact_step_runs_entry_carry(rng):
     assert s == codec.encode_bytes(data, p, block_size=1024, batch_blocks=8)
 
 
+@pytest.mark.parametrize("n_data,n_win", [(8, 1), (4, 2)])
+def test_sharded_walk_identical_stream(n_data, n_win, rng):
+    """Device-resident sharded walk pipeline == serial host parse.
+
+    Byte-aligned width (la=15, sb=15 -> 16-bit tokens) routes to the
+    scalar-core walk kernel per shard (speculative entry-0 parse + host
+    resync splice).  The stream must equal codec.encode_bytes exactly."""
+    data = make_text(rng, 40_000)
+    p = spec.Params(la=15, sb=15)
+    m = mesh_lib.make_mesh(n_data=n_data, n_win=n_win)
+    s = sharded.encode_bytes_sharded(
+        data, p, mesh=m, block_size=2048, batch_blocks=8,
+        matcher="brute" if n_win > 1 else "sorted", interpret=True,
+    )
+    ref = codec.encode_bytes(data, p, block_size=2048, batch_blocks=8)
+    assert s == ref
+    assert codec.decode_bytes(s) == data
+
+
+def test_sharded_walk_ragged_multibatch(rng):
+    """Ragged tail + multiple batches through the walk pipeline."""
+    p = spec.Params(la=15, sb=15)
+    m = mesh_lib.make_mesh(n_data=4, n_win=1)
+    data = make_text(rng, 33_123)
+    s = sharded.encode_bytes_sharded(
+        data, p, mesh=m, block_size=1024, batch_blocks=8, interpret=True,
+    )
+    assert s == codec.encode_bytes(data, p, block_size=1024, batch_blocks=8)
+    assert sharded.encode_bytes_sharded(
+        b"", p, mesh=m, interpret=True
+    ) == codec.encode_bytes(b"", p)
+
+
+def test_sharded_walk_never_resync_fallback(rng):
+    """Runs-class input: greedy chains from different entries never merge
+    (constant jump length), forcing the bulk-fetch native re-parse fallback
+    in the resync splice — the same adversarial class test_native covers."""
+    data = b"\x00" * 20_000 + make_text(rng, 4_000) + b"\x01" * 9_000
+    p = spec.Params(la=15, sb=15)
+    m = mesh_lib.make_mesh(n_data=4, n_win=1)
+    s = sharded.encode_bytes_sharded(
+        data, p, mesh=m, block_size=1024, batch_blocks=8, interpret=True,
+    )
+    assert s == codec.encode_bytes(data, p, block_size=1024, batch_blocks=8)
+    assert codec.decode_bytes(s) == data
+
+
+def test_sharded_walk_default_params(rng):
+    """Reference defaults (la=15, sb=4095, 24-bit tokens) through the walk
+    pipeline; small resync window to exercise the window-limited splice."""
+    old = sharded.RESYNC_WINDOW
+    sharded.RESYNC_WINDOW = 512
+    try:
+        data = make_text(rng, 60_000)
+        p = spec.Params()
+        m = mesh_lib.make_mesh(n_data=2, n_win=1)
+        s = sharded.encode_bytes_sharded(
+            data, p, mesh=m, block_size=8192, batch_blocks=2, interpret=True,
+        )
+        assert s == codec.encode_bytes(data, p, block_size=8192,
+                                       batch_blocks=2)
+    finally:
+        sharded.RESYNC_WINDOW = old
+
+
 def test_distributed_partitioning():
     assert distributed.block_range(10, 3, 0) == (0, 4)
     assert distributed.block_range(10, 3, 1) == (4, 7)
