@@ -151,12 +151,18 @@ def run_big_streamed(gigabytes: float, workdir: str,
     kwargs = {}
     if block_size:
         kwargs["block_size"] = block_size
+    import resource
+
     t0 = time.perf_counter()
     codec.encode_file(
         src, dst, params, matcher=matcher, stats=stats,
         manifest_path=dst + ".manifest", **kwargs,
     )
     enc_s = time.perf_counter() - t0
+    # Peak RSS up to this point proves the bounded-memory claim for the
+    # encode path itself (the decode verification below deliberately loads
+    # the whole output, so it is excluded by sampling here).
+    enc_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     # Streamed verification: decode with the native decoder and compare in
     # chunks against the memmapped source.
     from . import native
@@ -181,6 +187,7 @@ def run_big_streamed(gigabytes: float, workdir: str,
         "ratio": round(stats.output_bytes / n, 4),
         "encode_mb_s": round(n / enc_s / 1e6, 2),
         "decode_mb_s": round(n / dec_s / 1e6, 2),
+        "encode_peak_rss_mb": round(enc_rss_mb, 1),
         "verified": ok,
         "phases": stats.phases.as_dict(),
     }

@@ -96,7 +96,9 @@ def find_matches_bitplane(
     """Same contract as ``ops.match.find_matches_brute`` (bit-plane backend).
 
     Requires ``halo.shape[0] == d_limit(sb)`` (like the chunked matcher) and
-    ``la <= 33`` (run-mask shifts stay within one stripe).
+    a block large enough that ``nw > depth`` (run-mask shifts then stay
+    within one stripe for any la up to the format's 255 — validated
+    bit-exact against the chunked matcher at la = 34 and 64).
     """
     B = block.shape[0]
     depth = spec.len_limit(la)
@@ -110,8 +112,9 @@ def find_matches_bitplane(
             f"bitplane matcher requires halo size == d_limit ({dlim}), got {H}"
         )
     R = right.shape[0]
-    if depth > _WORD + 1:
-        raise ValueError("bitplane matcher supports la <= 33")
+    # No hard depth cap: run-mask shifts stay within one stripe whenever
+    # nw > depth (checked below), which block sizing guarantees — validated
+    # bit-exact against the chunked matcher at la = 34 and 64 (round 3).
 
     n_real = H + B + R
     nw = -(-n_real // _WORD)

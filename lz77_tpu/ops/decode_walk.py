@@ -18,6 +18,14 @@ Layout:
   words of SMEM scratch, indexed ``p & (RB-1)``.  ``RB >= 2*max_off`` makes
   slot reuse safe: the position a slot held previously (``p - RB``) is
   always older than the furthest reachable match source (``p - max_off``).
+* The copy loop takes one branch per token on the overlap class (the native
+  decoder's off/len split, lz77host.cpp:578-584): ``off >= 4`` runs
+  GROUP-wide *wildcopy* steps (all loads issued before any store so the
+  scalar unit can pipeline them; up to GROUP-1 bytes of overshoot past the
+  token end land on future positions that are rewritten, in order, before
+  anything reads them); ``off == 1`` — the RLE-on-runs workhorse — splats
+  one loaded byte with store-only groups; ``off in {2, 3}`` replays
+  byte-serially with predicated pairs.
 * Completed TILE-word output tiles DMA from the ring to HBM with
   ``pl.multiple_of``-aligned async copies (the ring size is a multiple of
   TILE, so a tile's positions are contiguous ring words).  The write cursor
@@ -101,14 +109,9 @@ def _kernel(scal_ref, tok_ref, out_ref, cnt_ref, ring, st, sem,
                 # up to p so overshoot never reaches HBM early.
                 def g(c):
                     q1, s1 = c
-                    v0 = ring[s1 & mask]
-                    v1 = ring[(s1 + 1) & mask]
-                    v2 = ring[(s1 + 2) & mask]
-                    v3 = ring[(s1 + 3) & mask]
-                    ring[q1 & mask] = v0
-                    ring[(q1 + 1) & mask] = v1
-                    ring[(q1 + 2) & mask] = v2
-                    ring[(q1 + 3) & mask] = v3
+                    vs = [ring[(s1 + k) & mask] for k in range(GROUP)]
+                    for k in range(GROUP):
+                        ring[(q1 + k) & mask] = vs[k]
                     return q1 + GROUP, s1 + GROUP
 
                 lax.while_loop(lambda c: c[0] < qe, g, (p, p - off))

@@ -354,21 +354,17 @@ MATCHERS = {
 
 
 def route_matcher(name: str, la: int) -> str:
-    """Capability routing: bit-plane matchers keep their run masks within one
-    32-bit stripe and therefore support ``la <= 33`` only; the reference CLI
-    accepts ``-l`` up to 255 (main.c:35), so larger lookaheads transparently
-    fall back to the distance-chunked matcher (same exact results) with a
-    warning instead of failing mid-encode."""
-    if name in ("bitplane", "pallas_bitplane") and la > 33:
-        import warnings
+    """Capability routing for matcher names.
 
-        warnings.warn(
-            f"matcher {name!r} supports la <= 33; auto-routing la={la} to "
-            "'chunked' (identical output, different kernel)",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        return "chunked"
+    Round 3 removed the bit-plane family's ``la <= 33`` cap: the XLA
+    bit-plane formulation is exact for any ``la`` the reference CLI accepts
+    (``-l`` up to 255, main.c:35) whenever the block is large enough
+    (``nw > depth`` — guaranteed by default block sizing), and it measures
+    1.48x the chunked matcher at la=64 on a v5e (docs/PARITY.md).  The
+    Pallas bit-plane wrapper self-routes to the XLA formulation when its
+    sweep state would exceed VMEM (``pallas_bitplane.py``), so no name
+    rewriting is needed any more; this hook remains for future capability
+    splits."""
     return name
 
 

@@ -50,6 +50,7 @@ from .. import spec
 from . import bitplane
 
 LANES = 128
+VMEM_BUDGET_BYTES = 13 << 20  # leave headroom under the ~16 MB/core VMEM
 
 
 def preferred_block_size(
@@ -363,17 +364,23 @@ def find_matches_bitplane_pallas(
             f"bitplane matcher requires halo size == d_limit ({dlim}), got {H}"
         )
     R = right.shape[0]
-    if depth > 33:
-        raise ValueError("bitplane matcher supports la <= 33")
 
     n_real = H + B + R
     nw = -(-n_real // 32)
     nw += (-nw) % LANES
     n_tot = 32 * nw
     rr = nw // LANES
-    if rr <= depth:
+    dbits_v = max(dlim.bit_length(), 6)
+    # VMEM budget: the per-(distance-bit x length) first-touch planes
+    # (dbits * depth) dominate at large depth; past ~la 40 at the default
+    # window they exceed the core's VMEM, so those shapes take the XLA
+    # bit-plane formulation (same algorithm, HBM-carried state).
+    scratch_planes = 9 + 3 * depth + dbits_v * depth + dbits_v
+    scratch_bytes = (scratch_planes + 2 * 32) * rr * LANES * 4
+    if rr <= depth or scratch_bytes > VMEM_BUDGET_BYTES:
         # Too few word-rows for the run-mask row shifts (tiny block or
-        # window): the XLA bit-plane handles these shapes fine.
+        # window), or sweep state over VMEM: the XLA bit-plane handles
+        # these shapes for any la.
         return bitplane.find_matches_bitplane(
             block, halo, right, avail, valid_ext, la=la, sb=sb
         )

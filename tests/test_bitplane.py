@@ -39,7 +39,9 @@ def _case(rng, la, sb, B, alpha, avail_frac=1.0, vx_frac=None):
         (15, 4095, 4096, 200),   # sparse matches
         (8, 63, 512, 3),
         (3, 5, 256, 2),
-        (33, 1023, 1024, 5),     # la at the supported cap
+        (33, 1023, 1024, 5),     # la at the old one-stripe cap
+        (40, 127, 1024, 4),      # la past the old cap (r3: cap removed;
+                                 # la=64 covered by the CLI routing test)
         (2, 65535, 2048, 3),     # full 16-bit distance planes
     ],
 )

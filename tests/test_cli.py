@@ -115,19 +115,16 @@ def test_dump_tool(tmp_path):
 
 
 def test_cli_large_la_with_bitplane_matcher(tmp_path, capsys):
-    """-l 64 --matcher pallas_bitplane must succeed via auto-routing
-    (previously died with a misleading 'Error reading bits')."""
-    import warnings
-
+    """-l 64 --matcher pallas_bitplane runs the bit-plane family (r3: the
+    la<=33 cap removed — the wrapper self-routes to the XLA bit-plane when
+    the Pallas sweep state would exceed VMEM)."""
     inp = tmp_path / "in"
     out = tmp_path / "out"
     dec = tmp_path / "dec"
     data = b"abcabcabcabc" * 300
     inp.write_bytes(data)
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        rc = cli.main(["-c", "-i", str(inp), "-o", str(out), "-l", "64",
-                       "--matcher", "pallas_bitplane"])
+    rc = cli.main(["-c", "-i", str(inp), "-o", str(out), "-l", "64",
+                   "--matcher", "pallas_bitplane", "--block-size", "8192"])
     capsys.readouterr()
     assert rc == 0
     rc = cli.main(["-d", "-i", str(out), "-o", str(dec)])
