@@ -93,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "'4x2' = 4-way data (block) axis x 2-way window "
                         "(distance) axis; default: all devices on the data "
                         "axis")
+    p.add_argument("--decode-backend",
+                   choices=("auto", "native", "host", "device"),
+                   default="auto",
+                   help="jax-backend decoder: 'auto' = fastest verified "
+                        "host path; 'device' = the scalar-core walk kernel "
+                        "(full -s range; the backend actually used is "
+                        "recorded in --report)")
     p.add_argument("--threads", type=int, default=None,
                    help="Native-backend encoder threads (default: all cores; "
                         "the parallel encoder emits byte-identical streams)")
@@ -321,7 +328,7 @@ def _decode(data: bytes, args):
     from .models import codec
 
     st = codec.DecodeStats()
-    out = codec.decode_bytes(data, stats=st)
+    out = codec.decode_bytes(data, backend=args.decode_backend, stats=st)
     return out, {"backend": "jax", "decode_backend": st.backend}
 
 

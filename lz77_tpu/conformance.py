@@ -124,7 +124,8 @@ def run_conformance(
 
 def run_big_streamed(gigabytes: float, workdir: str,
                      matcher: str = "chunked",
-                     block_size: int | None = None) -> dict:
+                     block_size: int | None = None,
+                     batch_blocks: int | None = None) -> dict:
     """Memmap-streamed encode_file of a multi-GB input with a manifest.
 
     The input is written to disk once (deterministic mixed corpus tiles),
@@ -151,6 +152,8 @@ def run_big_streamed(gigabytes: float, workdir: str,
     kwargs = {}
     if block_size:
         kwargs["block_size"] = block_size
+    if batch_blocks:
+        kwargs["batch_blocks"] = batch_blocks
     import resource
 
     t0 = time.perf_counter()

@@ -160,10 +160,16 @@ def find_matches_bitplane(
                 acc = acc | neq[b]
             eq = ~acc & sp[8]
             eq = jnp.where(d <= dlim, eq, 0)
+            # Run masks by the uniform recurrence m_k = eq & shift1(m_{k-1})
+            # (== AND of k+1 shifted eq planes; composition is exact while
+            # cumulative shift < nw, which nw > depth guarantees).  One
+            # repeated shift pattern instead of depth distinct slice widths:
+            # the varied-width form sent XLA:CPU's algebraic simplifier into
+            # a circular-rewrite loop (50+ passes, then a crash) at la >= 64.
             ms = [eq]
             m = eq
             for k in range(1, depth):
-                m = m & _shift_pos_fwd(eq, k)
+                m = eq & _shift_pos_fwd(m, 1)
                 ms.append(m)
             newly = jnp.stack(ms) & ~found
             found = found | newly

@@ -34,9 +34,11 @@ Layout:
 * The host computes the exact output length up front (sum(len) + T — token
   widths are fixed, SURVEY.md §2.3.2), so the kernel never over-fetches.
 
-Supported window: ``off_bits <= MAX_OFF_BITS`` (ring must fit SMEM).  That
-covers the reference defaults (sb=4095 -> 12 offset bits); wider foreign
-headers fall back to the host decoder, as before.
+Supported window: ``off_bits <= MAX_OFF_BITS = 16`` — the full reference
+CLI range (sb <= 65535, main.c:37).  The widest ring is 2^17 int32 words =
+512 KiB of SMEM scratch, verified in-budget on v5e hardware alongside the
+64 KiB token staging block; anything wider (no valid header produces it)
+falls back to the host decoder.
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024        # int32 HBM tiling: DMA offsets must be TILE-aligned
 ROWS = 8           # token sub-chunks per grid step
 DEFAULT_TCHUNK = 2048
-MAX_OFF_BITS = 13  # ring = 2^(off_bits+1) int32 words of SMEM (<= 64 KiB)
+MAX_OFF_BITS = 16  # ring = 2^(off_bits+1) int32 words of SMEM (<= 512 KiB)
 GROUP = 4          # independent copy slots per fast-path step (off >= GROUP)
 
 

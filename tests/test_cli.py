@@ -87,6 +87,28 @@ def test_report_flag(tmp_path, capsys, rng):
     assert rep["input_bytes"] == len(data)
 
 
+def test_decode_backend_flag(tmp_path, capsys, rng):
+    """--decode-backend selects the decoder; the backend actually used is
+    recorded in --report (device falls back loudly on CPU hosts)."""
+    import json
+
+    data = CORPUS_SMALL["text"](rng)[:2000]
+    inp, comp = tmp_path / "in", tmp_path / "comp"
+    inp.write_bytes(data)
+    assert run_cli(["-c", "-i", str(inp), "-o", str(comp)]) == 0
+    for be, expect in (
+        ("native", {"native"}),
+        ("host", {"host"}),
+        ("device", {"device-walk", "device-chunked"}),
+    ):
+        out = tmp_path / f"out.{be}"
+        assert run_cli(["-d", "-i", str(comp), "-o", str(out),
+                        "--decode-backend", be, "--report"]) == 0
+        assert out.read_bytes() == data
+        rep = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+        assert rep["decode_backend"] in expect
+
+
 def test_dump_tool(tmp_path):
     """python -m lz77_tpu.dump: token-level stream inspection (both modes)."""
     import io

@@ -57,13 +57,31 @@ def test_walk_decode_c_oracle_stream(oracle, rng):
 
 
 def test_walk_decode_off_bits_gate():
-    """Windows wider than the SMEM ring are rejected (host path handles)."""
+    """Rings wider than the SMEM budget are rejected (host path handles).
+
+    No valid header produces off_bits > 16 (sb <= 65535, main.c:37) — the
+    gate is a guard against malformed routing, not a product limit.
+    """
     with pytest.raises(ValueError):
         decode_walk.walk_decode(
             np.zeros((1, decode_walk.ROWS, 256), np.int32),
-            1, ng=1, tchunk=256, off_bits=16, out_cap=decode_walk.TILE,
+            1, ng=1, tchunk=256, off_bits=17, out_cap=decode_walk.TILE,
             interpret=True,
         )
+
+
+def test_walk_decode_max_window(rng):
+    """sb=65535 (off_bits=16, the CLI maximum) decodes through the walk
+    kernel — the 512 KiB SMEM ring covers the full reference range.  The
+    input repeats a shuffled page at distance ~48k so matches genuinely
+    exercise offsets far beyond the old 13-bit ceiling."""
+    page = rng.integers(0, 256, 48_000, dtype=np.uint8).tobytes()
+    data = page + make_text(rng, 8_000) + page
+    p = spec.Params(sb=65535)
+    stream = codec.encode_bytes(data, p)
+    _, off, _, _ = bitio.parse_stream(stream)
+    assert int(off.max()) > (1 << 13)  # wide offsets actually present
+    assert _walk_decode(stream, tchunk=2048) == data
 
 
 def test_walk_decode_tile_boundary_runs(rng):
@@ -88,9 +106,24 @@ def test_codec_device_dispatch_walk(rng):
     assert st.output_bytes == len(data)
 
 
-def test_codec_device_dispatch_wide_window_fallback(rng):
-    """Wide windows (off_bits > walk ceiling) fall back to the chunked XLA
-    decoder — loudly, with the backend recorded."""
+def test_codec_device_dispatch_max_window_walk(rng):
+    """sb=65535 (the CLI maximum) now routes to the walk kernel: the SMEM
+    ring covers the full reference window range."""
+    data = make_text(rng, 20_000)
+    stream = codec.encode_bytes(data, spec.Params(sb=65535))  # off_bits=16
+    st = codec.DecodeStats()
+    out = codec.decode_bytes(
+        stream, backend="device", stats=st, device_interpret=True
+    )
+    assert out == data
+    assert st.backend == "device-walk"
+
+
+def test_codec_device_dispatch_wide_window_fallback(rng, monkeypatch):
+    """Streams wider than the ring budget fall back to the chunked XLA
+    decoder — loudly, with the backend recorded.  No valid header exceeds
+    the real ceiling (16 bits), so the ceiling is pinned down for the test."""
+    monkeypatch.setattr(decode_walk, "MAX_OFF_BITS", 13)
     data = make_text(rng, 20_000)
     stream = codec.encode_bytes(data, spec.Params(sb=65535))  # off_bits=16
     st = codec.DecodeStats()
