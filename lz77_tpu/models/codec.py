@@ -432,31 +432,52 @@ def encode_file(
                     scratch.flush()
                     man.save(manifest_path)
 
-    # Final assembly: bit-contiguous merge of the byte-aligned chunks.
-    chunks = []
+    # Final assembly, in bounded memory (the scratch file can exceed RAM):
+    # byte-aligned widths stream-copy scratch after the header; non-aligned
+    # widths merge each record's bits with a carried sub-byte remainder —
+    # the same merge the non-manifest path does batch-by-batch above.
     aligned = bitio.byte_aligned(params)
-    with open(scratch_path, "rb") as f:
-        for rec in man.blocks:
-            nbytes = (rec.tokens * man.width + 7) // 8
-            raw = np.frombuffer(f.read(nbytes), np.uint8)
-            if aligned:
-                chunks.append(raw)
-            else:
-                chunks.append(
-                    np.unpackbits(raw, bitorder="little")[
-                        : rec.tokens * man.width
-                    ]
-                )
-    stream = bitio.assemble_stream(chunks, params)
+    out_bytes = spec.HEADER_BYTES
     with open(out_path, "wb") as f:
-        f.write(stream)
+        f.write(bitio.header_bytes(params))
+        with open(scratch_path, "rb") as sf:
+            if aligned:
+                while True:
+                    buf = sf.read(64 << 20)
+                    if not buf:
+                        break
+                    f.write(buf)
+                    out_bytes += len(buf)
+            else:
+                rem = np.zeros(0, np.uint8)
+                for rec in man.blocks:
+                    nbytes = (rec.tokens * man.width + 7) // 8
+                    raw = np.frombuffer(sf.read(nbytes), np.uint8)
+                    bits = np.concatenate([
+                        rem,
+                        np.unpackbits(raw, bitorder="little")[
+                            : rec.tokens * man.width
+                        ],
+                    ])
+                    whole = (bits.shape[0] // 8) * 8
+                    if whole:
+                        f.write(
+                            np.packbits(
+                                bits[:whole], bitorder="little"
+                            ).tobytes()
+                        )
+                        out_bytes += whole // 8
+                    rem = bits[whole:]
+                if rem.shape[0]:
+                    f.write(np.packbits(rem, bitorder="little").tobytes())
+                    out_bytes += 1
     os.unlink(scratch_path)
     if os.path.exists(manifest_path):
         os.unlink(manifest_path)
 
     st.tokens = total_tokens
     st.blocks = -(-n // block_size)
-    st.output_bytes = len(stream)
+    st.output_bytes = out_bytes
     st.phases.total = time_lib.perf_counter() - _t0
 
 

@@ -83,6 +83,23 @@ def _shift_pos_fwd(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.concatenate([x[..., k:], wrapped], axis=-1)
 
 
+def _shift_src_by(x: jnp.ndarray, k: jnp.ndarray, nw: int) -> jnp.ndarray:
+    """Bulk-advance source planes by ``k`` positions (traced k >= 0).
+
+    Strided layout: position t = stripe*nw + word, so shifting by
+    ``k = q*nw + r`` = roll words by r (wrapped words move up one stripe,
+    ``<< 1``), then move everything up q stripes (``<< q``).  Bits shifted
+    past stripe 31 drop — those sources precede the buffer, and the
+    validity plane (shifted identically) zeroes them anyway.
+    """
+    q = k // nw
+    r = k % nw
+    rolled = jnp.roll(x, r, axis=-1)
+    idx = jnp.arange(nw, dtype=jnp.int32)
+    rolled = jnp.where(idx[None, :] < r, rolled << 1, rolled)
+    return rolled << q
+
+
 def find_matches_bitplane(
     block: jnp.ndarray,
     halo: jnp.ndarray,
@@ -137,19 +154,52 @@ def find_matches_bitplane(
     vplane = _pack_mask((pos >= H - avail) & (pos < H + valid_ext))
 
     dbits = max(dlim.bit_length(), 6)  # distance bit-planes actually needed
+    n_windows = -(-dlim // _WIN)  # window w covers d in [32w+1, 32w+32]
+    found, dp = _sweep(
+        planes, vplane, d_base=jnp.int32(0), d_hi=jnp.int32(dlim + 1),
+        n_windows=n_windows, nw=nw, depth=depth, dlim=dlim, dbits=dbits,
+    )
+    return _extract(
+        found, dp, nw=nw, depth=depth, dbits=dbits, H=H, B=B,
+        valid_ext=valid_ext, pos=pos,
+    )
+
+
+def _sweep(
+    planes: jnp.ndarray,   # (8, nw) buffer bit-planes
+    vplane: jnp.ndarray,   # (nw,) source-validity plane
+    *,
+    d_base: jnp.ndarray,   # traced: sweep covers d in (d_base, d_base+32*nW]
+    d_hi: jnp.ndarray,     # traced exclusive upper bound on d
+    n_windows: int,
+    nw: int,
+    depth: int,
+    dlim: int,
+    dbits: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Incremental distance sweep -> (found (depth,nw), dp (dbits,depth,nw)).
+
+    ``d_base`` MUST be a multiple of 32: window widx sweeps distances
+    ``d_base + 32*widx + (1..32)``, so d's low 5 bits stay equal to the
+    static unroll index and the zero-cost distance-plane selection trick
+    keeps working for a traced base (the window-constant high bits are
+    folded with predicated ORs).
+    """
     state0 = (
-        jnp.concatenate([planes, vplane[None, :]], axis=0),  # sp (9, nw), d=0
+        # sp: source planes pre-advanced to distance d_base (9, nw)
+        _shift_src_by(
+            jnp.concatenate([planes, vplane[None, :]], axis=0),
+            jnp.minimum(d_base, jnp.int32(dlim)), nw,
+        ),
         jnp.zeros((depth, nw), jnp.int32),                   # found
         # distance planes as a tuple: plane-b updates touch only (depth, nw)
         tuple(jnp.zeros((depth, nw), jnp.int32) for _ in range(dbits)),
     )
 
-    n_windows = -(-dlim // _WIN)  # window w covers d in [32w+1, 32w+32]
-
     def window(widx, st):
         sp, found, dp = st
         dp = list(dp)
-        base = widx * _WIN
+        base = d_base + widx * _WIN
         win = jnp.zeros((depth, nw), jnp.int32)
         for i in range(_WIN):
             d = base + i + 1  # traced scalar; low 5 bits = (i+1) & 31 static
@@ -159,7 +209,7 @@ def find_matches_bitplane(
             for b in range(1, 8):
                 acc = acc | neq[b]
             eq = ~acc & sp[8]
-            eq = jnp.where(d <= dlim, eq, 0)
+            eq = jnp.where((d <= dlim) & (d < d_hi), eq, 0)
             # Run masks by the uniform recurrence m_k = eq & shift1(m_{k-1})
             # (== AND of k+1 shifted eq planes; composition is exact while
             # cumulative shift < nw, which nw > depth guarantees).  One
@@ -190,8 +240,72 @@ def find_matches_bitplane(
         return sp, found, tuple(dp)
 
     _, found, dp = lax.fori_loop(0, n_windows, window, state0)
+    return found, jnp.stack(dp)
+
+
+def find_matches_bitplane_range(
+    block: jnp.ndarray,
+    halo: jnp.ndarray,
+    right: jnp.ndarray,
+    avail: jnp.ndarray,
+    valid_ext: jnp.ndarray,
+    d_lo: jnp.ndarray,
+    d_hi: jnp.ndarray,
+    *,
+    la: int,
+    sb: int,
+    span: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Bit-plane sweep over the distance sub-range [d_lo, d_hi).
+
+    Same contract as ``ops.match.find_matches_brute_range`` (the window-axis
+    sharding building block, combined with a pmax over ``combine_key``), at
+    the bit-plane matcher's ~6x lower op count.  Constraints: ``d_lo`` must
+    be ``1 (mod 32)`` (the sharded caller sizes per-shard spans as multiples
+    of 32, so shard w starts at ``1 + w*span``) and ``span`` — the static
+    per-shard distance count — a multiple of 32.
+    """
+    B = block.shape[0]
+    depth = spec.len_limit(la)
+    dlim = spec.d_limit(sb)
+    if dlim == 0 or depth == 0:
+        z = jnp.zeros((B,), jnp.int32)
+        return z, z
+    H = halo.shape[0]
+    if H != dlim:
+        raise ValueError(
+            f"bitplane matcher requires halo size == d_limit ({dlim}), got {H}"
+        )
+    if span % _WIN:
+        raise ValueError(f"span must be a multiple of {_WIN}, got {span}")
+    R = right.shape[0]
+
+    n_real = H + B + R
+    nw = -(-n_real // _WORD)
+    nw += (-nw) % 128
+    n_tot = _WORD * nw
+    if nw <= depth:
+        raise ValueError("block too small for bitplane matcher")
+
+    buf = jnp.concatenate(
+        [halo, block, right, jnp.zeros((n_tot - n_real,), jnp.uint8)]
+    )
+    planes = _to_planes(buf, nw)
+    pos = (
+        jnp.arange(_WORD, dtype=jnp.int32)[:, None] * nw
+        + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    )
+    vplane = _pack_mask((pos >= H - avail) & (pos < H + valid_ext))
+
+    dbits = max(dlim.bit_length(), 6)
+    found, dp = _sweep(
+        planes, vplane,
+        d_base=(d_lo - 1).astype(jnp.int32),
+        d_hi=jnp.minimum(d_hi, dlim + 1).astype(jnp.int32),
+        n_windows=span // _WIN, nw=nw, depth=depth, dlim=dlim, dbits=dbits,
+    )
     return _extract(
-        found, jnp.stack(dp), nw=nw, depth=depth, dbits=dbits, H=H, B=B,
+        found, dp, nw=nw, depth=depth, dbits=dbits, H=H, B=B,
         valid_ext=valid_ext, pos=pos,
     )
 

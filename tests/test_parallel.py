@@ -39,6 +39,21 @@ def test_sharded_match_identical_streams(n_data, n_win, rng):
     assert codec.decode_bytes(s_sharded) == data
 
 
+def test_sharded_match_win_axis_bitplane(rng):
+    """The window axis runs the ranged bit-plane sweep (not brute) when the
+    matcher is from the bit-plane family — streams stay byte-identical."""
+    data = make_text(rng, 40_000)
+    p = spec.Params(la=15, sb=255)
+    m = mesh_lib.make_mesh(n_data=4, n_win=2)
+    mf = sharded.sharded_match_fn(m, p, matcher="bitplane")
+    s_sharded = codec.encode_bytes(
+        data, p, block_size=2048, batch_blocks=8, match_fn=mf
+    )
+    s_single = codec.encode_bytes(data, p, block_size=2048, batch_blocks=8)
+    assert s_sharded == s_single
+    assert codec.decode_bytes(s_sharded) == data
+
+
 def test_sharded_pipeline_step_valid_stream(rng):
     """Fully fused device pipeline (entry=0) produces a decodable stream."""
     from lz77_tpu import bitio

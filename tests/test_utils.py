@@ -92,6 +92,21 @@ def test_encode_file_with_manifest_matches_plain(tmp_path, rng):
     assert not os.path.exists(str(dst) + ".partial")
 
 
+def test_encode_file_with_manifest_byte_aligned(tmp_path, rng):
+    """Byte-aligned widths take the bounded-memory stream-copy assembly."""
+    data = make_text(rng, 9000)
+    p = spec.Params(la=15, sb=4095)  # 24-bit tokens
+    src, dst = tmp_path / "in", tmp_path / "out"
+    src.write_bytes(data)
+    st = codec.EncodeStats()
+    codec.encode_file(str(src), str(dst), p, block_size=1024,
+                      batch_blocks=2, manifest_path=str(tmp_path / "m.json"),
+                      stats=st)
+    out = dst.read_bytes()
+    assert out == codec.encode_bytes(data, p, block_size=1024, batch_blocks=2)
+    assert st.output_bytes == len(out)
+
+
 def test_encode_file_resume_after_crash(tmp_path, rng):
     """Crash mid-run (injected fault exhausts retries), resume, verify."""
     data = make_text(rng, 12000)
