@@ -166,24 +166,46 @@ def run_big_streamed(gigabytes: float, workdir: str,
     # encode path itself (the decode verification below deliberately loads
     # the whole output, so it is excluded by sampling here).
     enc_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-    # Streamed verification: decode with the native decoder and compare in
-    # chunks against the memmapped source.
-    from . import native
-
-    t0 = time.perf_counter()
-    out = native.decode(open(dst, "rb").read())
-    dec_s = time.perf_counter() - t0
+    # Verification: prefer the C reference binary, file-to-file in a
+    # subprocess — this keeps the measuring process's RSS bounded AND turns
+    # the big run into an oracle cross-check at multi-GB scale.  Fall back
+    # to the in-process native decoder when the reference isn't mounted.
     import numpy as np
 
-    srcmap = np.memmap(src, dtype=np.uint8, mode="r")
-    ok = len(out) == n
-    if ok:
-        ob = np.frombuffer(out, np.uint8)
-        step = 64 << 20
-        for s0 in range(0, n, step):
-            if not np.array_equal(ob[s0 : s0 + step], srcmap[s0 : s0 + step]):
-                ok = False
-                break
+    oracle = build_oracle(workdir)
+    t0 = time.perf_counter()
+    if oracle is not None:
+        dec_path = os.path.join(workdir, "big.dec")
+        _ref_run(oracle, "-d", dst, dec_path)
+        dec_s = time.perf_counter() - t0
+        verifier = "c-reference"
+        ok = os.path.getsize(dec_path) == n
+        if ok:
+            a = np.memmap(src, dtype=np.uint8, mode="r")
+            b = np.memmap(dec_path, dtype=np.uint8, mode="r")
+            step = 64 << 20
+            for s0 in range(0, n, step):
+                if not np.array_equal(a[s0 : s0 + step], b[s0 : s0 + step]):
+                    ok = False
+                    break
+        os.unlink(dec_path)
+    else:
+        from . import native
+
+        out = native.decode(open(dst, "rb").read())
+        dec_s = time.perf_counter() - t0
+        verifier = "native"
+        srcmap = np.memmap(src, dtype=np.uint8, mode="r")
+        ok = len(out) == n
+        if ok:
+            ob = np.frombuffer(out, np.uint8)
+            step = 64 << 20
+            for s0 in range(0, n, step):
+                if not np.array_equal(
+                    ob[s0 : s0 + step], srcmap[s0 : s0 + step]
+                ):
+                    ok = False
+                    break
     return {
         "input_bytes": n,
         "output_bytes": stats.output_bytes,
@@ -192,6 +214,7 @@ def run_big_streamed(gigabytes: float, workdir: str,
         "decode_mb_s": round(n / dec_s / 1e6, 2),
         "encode_peak_rss_mb": round(enc_rss_mb, 1),
         "verified": ok,
+        "verifier": verifier,
         "phases": stats.phases.as_dict(),
     }
 

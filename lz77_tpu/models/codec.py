@@ -344,6 +344,30 @@ def encode_file(
     st = stats if stats is not None else EncodeStats()
     st.input_bytes = n
 
+    # Consumed memmap pages are dropped as the scan advances (keeping a
+    # d_limit halo margin): without this, sequentially-read file-backed
+    # pages stay resident and peak RSS grows with the INPUT size — the
+    # 1 GB conformance run measured ~input-proportional RSS before, flat
+    # after.  MADV_DONTNEED on a read-only private mapping just re-reads
+    # on any later touch, so it is safe even if something looks back.
+    import mmap as mmap_lib
+
+    adv_state = {"released": 0}
+
+    def _release_consumed(next_block: int) -> None:
+        mm = getattr(x, "_mmap", None)
+        if mm is None:
+            return
+        keep_from = max(0, next_block * block_size - params.d_limit)
+        end = (keep_from // mmap_lib.PAGESIZE) * mmap_lib.PAGESIZE
+        start = adv_state["released"]
+        if end > start:
+            adv_state["released"] = end
+            try:
+                mm.madvise(mmap_lib.MADV_DONTNEED, start, end - start)
+            except (AttributeError, OSError, ValueError):
+                pass  # madvise is an optimization, never a correctness need
+
     if manifest_path is None:
         total_tokens = 0
         aligned = bitio.byte_aligned(params)
@@ -352,13 +376,15 @@ def encode_file(
             f.write(bitio.header_bytes(params))
             rem = np.zeros(0, np.uint8)  # carried sub-byte bits (non-aligned)
             if n > 0:
-                for _, _, _, c, chunk in iter_block_bits(
+                for bidx, _, _, c, chunk in iter_block_bits(
                     x, params, block_size=block_size,
                     batch_blocks=batch_blocks, matcher=matcher,
                     retries=retries, fault_injector=fault_injector,
                     phases=st.phases,
                 ):
                     total_tokens += c
+                    if (bidx + 1) % batch_blocks == 0:
+                        _release_consumed(bidx + 1)
                     if not chunk.shape[0]:
                         continue
                     if aligned:
@@ -431,6 +457,7 @@ def encode_file(
                 if (bidx + 1) % batch_blocks == 0:
                     scratch.flush()
                     man.save(manifest_path)
+                    _release_consumed(bidx + 1)
 
     # Final assembly, in bounded memory (the scratch file can exceed RAM):
     # byte-aligned widths stream-copy scratch after the header; non-aligned

@@ -73,10 +73,11 @@ def test_stats_report(rng):
     )
 
 
-def test_large_la_autoroutes_bitplane(rng):
-    """la > 33 with a bit-plane matcher transparently falls back to the
-    chunked matcher (identical stream) instead of failing (VERDICT item 6;
-    the reference accepts -l up to 255, main.c:35)."""
+def test_large_la_bitplane_native(rng):
+    """la > 33 runs the bit-plane family DIRECTLY (round 3 removed the
+    la <= 33 cap and the auto-routing fallback with it): identical stream
+    to the chunked matcher, no warning (the reference accepts -l up to
+    255, main.c:35)."""
     import warnings
 
     from lz77_tpu.models import codec
@@ -88,7 +89,7 @@ def test_large_la_autoroutes_bitplane(rng):
         stream = codec.encode_bytes(
             data, params, block_size=2048, matcher="pallas_bitplane"
         )
-    assert any("auto-routing" in str(x.message) for x in w)
+    assert not any("auto-routing" in str(x.message) for x in w)
     ref = codec.encode_bytes(data, params, block_size=2048, matcher="chunked")
     assert stream == ref
     assert codec.decode_bytes(stream) == data

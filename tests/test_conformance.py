@@ -53,3 +53,18 @@ def test_corpus_ratios_realistic(corpus):
     assert r["synthetic:source"] < 0.6
     assert r["stress:zeros"] <= 0.21
     assert r["stress:random"] > 1.0
+
+
+def test_big_streamed_small(tmp_path):
+    """run_big_streamed end-to-end on a small input: manifest-path encode,
+    oracle (or native) verification, bounded-RSS plumbing all wired."""
+    from lz77_tpu import conformance
+
+    r = conformance.run_big_streamed(
+        0.002, str(tmp_path), matcher="sorted", block_size=65536,
+        batch_blocks=4,
+    )
+    assert r["verified"]
+    assert r["input_bytes"] == int(0.002 * (1 << 30))
+    assert r["verifier"] in ("c-reference", "native")
+    assert 0 < r["ratio"] < 1.2
