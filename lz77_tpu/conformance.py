@@ -241,6 +241,8 @@ def main(argv=None) -> int:
     ap.add_argument("--big", type=float, default=0.0,
                     help="additionally run an N-GB streamed encode_file")
     ap.add_argument("--big-matcher", default="chunked")
+    ap.add_argument("--big-block-size", type=int, default=None)
+    ap.add_argument("--big-batch-blocks", type=int, default=None)
     args = ap.parse_args(argv)
 
     with tempfile.TemporaryDirectory() as wd:
@@ -248,7 +250,9 @@ def main(argv=None) -> int:
         result = {"files": rows}
         if args.big > 0:
             result["big_streamed"] = run_big_streamed(
-                args.big, wd, matcher=args.big_matcher
+                args.big, wd, matcher=args.big_matcher,
+                block_size=args.big_block_size,
+                batch_blocks=args.big_batch_blocks,
             )
     ok = all(
         r["roundtrip"] and r.get("size_le_ref", True)
