@@ -110,7 +110,44 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Print a JSON run report to stderr")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Capture a jax.profiler device trace into DIR")
+    p.add_argument("--platform", choices=("cpu", "tpu"), default=None,
+                   help="Pin the JAX platform before backend init (wins "
+                        "over plugin overrides — e.g. run --pipeline "
+                        "sharded on CPU where a TPU plugin pins the "
+                        "platform)")
+    p.add_argument("--host-devices", type=int, default=None, metavar="N",
+                   help="Expose N virtual host (CPU) devices so multi-chip "
+                        "meshes run without hardware (implies --platform "
+                        "cpu unless --platform is given); e.g. "
+                        "'--host-devices 8 --pipeline sharded --mesh 4x2'")
     return p
+
+
+def _apply_platform(args) -> None:
+    """Pin platform/device-count BEFORE the first JAX backend init.
+
+    Environment variables alone are not enough when a platform plugin
+    re-pins ``jax_platforms`` at import (the axon TPU plugin does), so this
+    both sets the env and updates the config after import — the same
+    double-override tests/conftest.py uses, as a product flag.  Must run
+    before anything imports jax for real work.
+    """
+    import os as os_lib
+
+    if args.host_devices:
+        if args.host_devices < 1:
+            raise ValueError("--host-devices must be >= 1")
+        os_lib.environ["XLA_FLAGS"] = (
+            os_lib.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.host_devices}"
+        )
+        if args.platform is None:
+            args.platform = "cpu"
+    if args.platform:
+        os_lib.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -160,13 +197,83 @@ def main(argv: list[str] | None = None) -> int:
     params = spec.Params(la=la, sb=sb)
 
     try:
-        with open(args.input[0], "rb") as f:
-            data = f.read()
+        _apply_platform(args)  # must precede any real jax work
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+    if (
+        args.mode == "decode"
+        and args.decode_backend != "auto"
+        and args.backend in ("native", "numpy")
+    ):
+        print(
+            f"warning: --decode-backend {args.decode_backend} only applies "
+            f"to --backend jax; ignored with --backend {args.backend}",
+            file=sys.stderr,
+        )
+
+    # Probe the input for the reference-compatible open error without
+    # reading it: the streamed paths below read it in bounded chunks.
+    try:
+        open(args.input[0], "rb").close()
     except OSError as e:
         print(f"Opening input file: {e.strerror}", file=sys.stderr)
         return 1
 
     t0 = time.perf_counter()
+    # Streamed file-to-file decode (the default decode route): O(window)
+    # memory for any stream size, like the reference (lz77.c:148-197).
+    if args.mode == "decode" and (
+        args.backend == "native"
+        or (args.backend == "jax" and args.decode_backend in ("auto", "native"))
+    ):
+        from . import native as native_lib
+
+        try:
+            if native_lib.available():
+                # Pure-native streamed route: no jax import on the decode
+                # hot path (matters for CLI latency on small files).
+                import os as os_lib
+
+                in_bytes = os_lib.path.getsize(args.input[0])
+                n_out = native_lib.decode_file(args.input[0], args.output[0])
+                backend_used = "native-streamed"
+            else:
+                from .models import codec
+
+                st = codec.DecodeStats()
+                n_out = codec.decode_file(
+                    args.input[0], args.output[0],
+                    backend="native" if args.backend == "native"
+                    else args.decode_backend,
+                    stats=st,
+                )
+                in_bytes = st.input_bytes
+                backend_used = st.backend
+        except OSError as e:
+            print(f"Opening output file: {e.strerror}", file=sys.stderr)
+            return 1
+        except (ValueError, RuntimeError) as e:
+            print(f"Error reading bits: {e}", file=sys.stderr)
+            return 1
+        if args.report:
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "mode": "decode", "backend": args.backend,
+                "decode_backend": backend_used,
+                "seconds": round(dt, 6), "input_bytes": in_bytes,
+                "output_bytes": n_out,
+                "mb_per_s": round(n_out / dt / 1e6, 3) if dt > 0 else None,
+            }), file=sys.stderr)
+        return 0
+
+    try:
+        with open(args.input[0], "rb") as f:
+            data = f.read()
+    except OSError as e:
+        print(f"Opening input file: {e.strerror}", file=sys.stderr)
+        return 1
     if args.mode == "encode" and args.manifest and args.backend == "jax":
         from .models import codec
 

@@ -595,3 +595,41 @@ def decode_bytes(
     st.backend = "device-chunked"
     st.output_bytes = len(out)
     return out
+
+
+def decode_file(
+    in_path: str,
+    out_path: str,
+    backend: str = "auto",
+    *,
+    stats: DecodeStats | None = None,
+    read_chunk: int = 8 << 20,
+    out_chunk: int = 4 << 20,
+) -> int:
+    """File-to-file decode; returns the decoded size.
+
+    The default route is the native streamed decoder: O(window) memory
+    regardless of stream size (the reference's decode capability,
+    lz77.c:148-197 + bitio.c:103-121 — a 10 GB stream decodes at flat RSS).
+    Non-native backends (host/device) materialize the stream in RAM and
+    dispatch through :func:`decode_bytes`; the routing is recorded in
+    ``stats.backend`` either way.
+    """
+    import os
+
+    st = stats if stats is not None else DecodeStats()
+    st.requested = backend
+    if backend in ("auto", "native") and _NATIVE:
+        st.input_bytes = os.path.getsize(in_path)
+        n = native_lib.decode_file(
+            in_path, out_path, read_chunk=read_chunk, out_chunk=out_chunk
+        )
+        st.backend = "native-streamed"
+        st.output_bytes = n
+        return n
+    with open(in_path, "rb") as f:
+        data = f.read()
+    out = decode_bytes(data, backend=backend, stats=st)
+    with open(out_path, "wb") as f:
+        f.write(out)
+    return len(out)

@@ -94,10 +94,27 @@ def load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ],
+            "lz77_pack_tokens_phase": [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64,
+            ],
+            "lz77_dec_free": [ctypes.c_void_p],
+            "lz77_dec_total": [ctypes.c_void_p],
+            "lz77_dec_params": [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ],
+            "lz77_dec_feed": [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ],
         }.items():
             fn = getattr(lib, name)
             fn.argtypes = argtypes
             fn.restype = ctypes.c_int64
+        lib.lz77_dec_new.argtypes = []
+        lib.lz77_dec_new.restype = ctypes.c_void_p
+        lib.lz77_dec_free.restype = None
         _lib = lib
         return lib
 
@@ -196,6 +213,109 @@ def unpack_tokens(
     if c < 0:
         raise RuntimeError(f"native unpack failed: {c}")
     return off[:c], length[:c], nxt[:c]
+
+
+class DecodeStream:
+    """Resumable bounded-memory decoder (window tail + bit carry in C).
+
+    The reference decodes file-to-file in O(window) memory (lz77.c:148-197,
+    bitio.c:103-121); this is the same capability as an incremental state
+    machine: ``feed`` arbitrary input chunks, receive decoded byte slices.
+    Bytes out are identical to the whole-stream decoders for every stream.
+    """
+
+    def __init__(self, out_chunk: int = 4 << 20):
+        if out_chunk < 256:
+            raise ValueError("out_chunk must be >= 256 (one max-size token)")
+        self._lib = load()
+        self._st = self._lib.lz77_dec_new()
+        self._out = np.empty(out_chunk, np.uint8)
+
+    def __enter__(self) -> "DecodeStream":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        if self._st is not None:
+            self._lib.lz77_dec_free(self._st)
+            self._st = None
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        self.close()
+
+    @property
+    def total_out(self) -> int:
+        return int(self._lib.lz77_dec_total(self._st))
+
+    def params(self) -> spec.Params | None:
+        """Stream parameters once the 4-byte header has been fed."""
+        sb = ctypes.c_int32(0)
+        la = ctypes.c_int32(0)
+        if self._lib.lz77_dec_params(
+            self._st, ctypes.byref(sb), ctypes.byref(la)
+        ) != 0:
+            return None
+        return spec.Params(la=la.value, sb=sb.value)
+
+    def feed(self, data: bytes | np.ndarray):
+        """Decode one input chunk; yields decoded byte slices (np.uint8).
+
+        Every whole token in (carry + data) is decoded; trailing sub-token
+        bits stay in the carry for the next feed (the EOF padding rule,
+        lz77.c:266-280 — they are never a token since width > 7).
+        """
+        src = np.frombuffer(data, np.uint8) if isinstance(
+            data, (bytes, bytearray, memoryview)
+        ) else np.ascontiguousarray(data, np.uint8)
+        n = src.shape[0]
+        in_ptr = src.ctypes.data if n else 0
+        consumed = ctypes.c_int64(0)
+        done = 0
+        while True:
+            produced = self._lib.lz77_dec_feed(
+                self._st, in_ptr + done, n - done,
+                ctypes.byref(consumed), self._out.ctypes.data,
+                self._out.shape[0],
+            )
+            if produced < 0:
+                raise RuntimeError(f"corrupt stream: {produced}")
+            done += consumed.value
+            if produced:
+                yield self._out[:produced]
+            elif done >= n:
+                return
+            elif consumed.value == 0:  # cannot happen with out_chunk >= 256
+                raise RuntimeError("decoder stalled: no progress")
+
+
+def decode_file(
+    in_path: str,
+    out_path: str,
+    *,
+    read_chunk: int = 8 << 20,
+    out_chunk: int = 4 << 20,
+) -> int:
+    """File-to-file decode in O(window) memory; returns decoded size.
+
+    The framework's answer to lz77.c:148-197: arbitrarily large streams
+    decode at flat RSS (window tail + two fixed chunks), self-verified —
+    no whole-stream or whole-output materialization anywhere.
+    """
+    total = 0
+    with DecodeStream(out_chunk=out_chunk) as ds, \
+            open(in_path, "rb") as fin, open(out_path, "wb") as fout:
+        while True:
+            chunk = fin.read(read_chunk)
+            if not chunk:
+                break
+            for piece in ds.feed(chunk):
+                fout.write(piece)
+                total += piece.shape[0]
+        if ds.params() is None and ds.total_out == 0:
+            raise ValueError("corrupt or truncated stream: no header")
+    return total
 
 
 def decode(stream: bytes) -> bytes:

@@ -589,6 +589,162 @@ int64_t lz77_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
   return w;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streamed bounded-memory decoder.
+//
+// The reference decodes arbitrarily large files in O(window) memory: tokens
+// replay through a 3*SB+LA-byte buffer fed by 4 KiB buffered reads
+// (lz77.c:148-197, bitio.c:103-121).  This is the same capability as a
+// resumable state machine: the only cross-chunk state is the window tail
+// (<= sb bytes) and the bit-reader carry (< 8 bits once per byte boundary).
+// The host feeds arbitrary input chunks and drains bounded output slices;
+// the emitted bytes are identical to lz77_decode's for every stream.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct DecStream {
+  int header_done = 0;
+  int hdr_have = 0;
+  uint8_t hdr[4] = {0, 0, 0, 0};
+  int sb = 0, la = 0, off_bits = 0, len_bits = 0, width = 0;
+  uint64_t acc = 0;  // bit carry across feeds (always < width bits)
+  int nbits = 0;
+  int64_t total_out = 0;
+  std::vector<uint8_t> buf;  // [window tail (win_len)] [new bytes this feed]
+  int win_len = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* lz77_dec_new() { return new DecStream(); }
+
+void lz77_dec_free(void* sp) { delete static_cast<DecStream*>(sp); }
+
+// Total bytes decoded so far (valid any time).
+int64_t lz77_dec_total(void* sp) {
+  return static_cast<DecStream*>(sp)->total_out;
+}
+
+// Header params once parsed; returns 0 and fills sb/la, or -1 before the
+// header is complete.
+int64_t lz77_dec_params(void* sp, int32_t* sb, int32_t* la) {
+  DecStream& s = *static_cast<DecStream*>(sp);
+  if (!s.header_done) return -1;
+  *sb = s.sb;
+  *la = s.la;
+  return 0;
+}
+
+// Feed up to `n` input bytes, producing at most `out_cap` decoded bytes.
+// Returns bytes written (>= 0) or <0 on error (-3 invalid header, -4
+// corrupt offset).  *consumed reports input bytes eaten this call; consumed
+// bits are retained in the carry, so the caller never re-feeds.  The caller
+// loop: while consumed < n or output was produced, keep feeding.  out_cap
+// must be >= 256 (one max-size token) to guarantee forward progress.
+int64_t lz77_dec_feed(void* sp, const uint8_t* in, int64_t n,
+                      int64_t* consumed, uint8_t* out, int64_t out_cap) {
+  DecStream& s = *static_cast<DecStream*>(sp);
+  int64_t ip = 0;
+  *consumed = 0;
+  if (!s.header_done) {
+    while (s.hdr_have < 4 && ip < n) s.hdr[s.hdr_have++] = in[ip++];
+    if (s.hdr_have < 4) {
+      *consumed = ip;
+      return 0;  // header still incomplete: need more input
+    }
+    s.sb = s.hdr[0] | (s.hdr[1] << 8);
+    s.la = s.hdr[2] | (s.hdr[3] << 8);
+    // Same untrusted-header bounds as lz77_decode: width must stay <= 32.
+    if (s.la < 2 || s.la > 255 || s.sb < 1 || s.sb > 65535) return -3;
+    s.off_bits = bitof(s.sb);
+    s.len_bits = bitof(s.la);
+    s.width = s.off_bits + s.len_bits + 8;
+    s.buf.assign(static_cast<size_t>(s.sb), 0);
+    s.win_len = 0;
+    s.header_done = 1;
+  }
+  const uint32_t off_mask =
+      s.off_bits ? ((1u << s.off_bits) - 1u) : 0u;
+  const uint32_t len_mask =
+      s.len_bits ? ((1u << s.len_bits) - 1u) : 0u;
+  const uint64_t tok_mask =
+      (s.width < 64) ? ((1ull << s.width) - 1ull) : ~0ull;
+
+  int64_t room = out_cap;
+  if (static_cast<int64_t>(s.buf.size()) < s.win_len + room) {
+    s.buf.resize(static_cast<size_t>(s.win_len + room));
+  }
+  uint8_t* b = s.buf.data();
+  int64_t w = s.win_len;  // write cursor in buf
+  const int64_t wend = s.win_len + room;
+  int64_t tot = s.total_out;
+
+  while (wend - w >= s.la + 1) {  // room for one max token (len+1 <= la)
+    while (s.nbits < s.width) {
+      if (ip - n <= -4) {  // bulk refill: 32 bits at once
+        uint32_t w32;
+        std::memcpy(&w32, in + ip, 4);
+        s.acc |= static_cast<uint64_t>(w32) << s.nbits;
+        ip += 4;
+        s.nbits += 32;
+      } else if (ip < n) {
+        s.acc |= static_cast<uint64_t>(in[ip++]) << s.nbits;
+        s.nbits += 8;
+      } else {
+        goto drained;  // sub-token bits stay in the carry (EOF padding rule)
+      }
+    }
+    {
+      const uint32_t tok = static_cast<uint32_t>(s.acc & tok_mask);
+      s.acc >>= s.width;
+      s.nbits -= s.width;
+      const uint32_t off = tok & off_mask;
+      const uint32_t len = (tok >> s.off_bits) & len_mask;
+      const uint8_t next =
+          static_cast<uint8_t>((tok >> (s.off_bits + s.len_bits)) & 0xFFu);
+      if (len > 0) {
+        // Bounded-history rule: only the last min(sb, tot) bytes exist, so
+        // a source beyond either is corrupt (conforming encoders emit
+        // off <= d_limit <= sb always).
+        if (off == 0 || static_cast<int64_t>(off) > tot ||
+            static_cast<int>(off) > s.sb) {
+          return -4;
+        }
+        const uint8_t* src = b + (w - off);
+        uint8_t* dst = b + w;
+        if (off >= len) {
+          std::memcpy(dst, src, len);
+        } else {
+          for (uint32_t i = 0; i < len; ++i) dst[i] = src[i];  // overlap runs
+        }
+        w += len;
+        tot += len;
+      }
+      b[w++] = next;
+      ++tot;
+    }
+  }
+drained:
+  const int64_t produced = w - s.win_len;
+  std::memcpy(out, b + s.win_len, static_cast<size_t>(produced));
+  s.total_out += produced;
+  const int new_wl = static_cast<int>(
+      s.win_len + produced < s.sb ? s.win_len + produced : s.sb);
+  std::memmove(b, b + (w - new_wl), static_cast<size_t>(new_wl));
+  s.win_len = new_wl;
+  *consumed = ip;
+  return produced;
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Greedy-parse walk over a block's match-length table (device-produced).
 // L[p] is the capped longest-match length at block position p; the walk
 // starts at `entry` and stops at `valid`.  Writes token start positions to
@@ -624,6 +780,34 @@ int64_t lz77_pack_tokens(const int32_t* off, const uint8_t* len,
   std::vector<uint8_t> buf;
   buf.reserve(static_cast<size_t>((T * width + 7) / 8));
   BitWriter bw(buf);
+  for (int64_t i = 0; i < T; ++i) {
+    bw.put(static_cast<uint32_t>(off[i]), off_bits);
+    bw.put(len[i], len_bits);
+    bw.put(next[i], 8);
+  }
+  bw.close();
+  std::memcpy(out, buf.data(), buf.size());
+  return T * width;
+}
+
+// Pack T tokens starting at bit phase `phase` in [0, 8): the first output
+// byte carries only bits >= phase (low bits zero, ready to OR-merge with the
+// caller's trailing partial byte), the last partial byte is zero-padded.
+// This is the native bit writer for NON-byte-aligned widths across block
+// boundaries (bitio.c:203-236's job, a whole block per call instead of one
+// bit per iteration).  Returns payload bits written (excluding the phase).
+int64_t lz77_pack_tokens_phase(const int32_t* off, const uint8_t* len,
+                               const uint8_t* next, int64_t T, int la, int sb,
+                               int phase, uint8_t* out, int64_t cap) {
+  if (la < 2 || la > 255 || sb < 1 || sb > 65535) return -1;
+  if (phase < 0 || phase > 7) return -1;
+  const int off_bits = bitof(sb);
+  const int len_bits = bitof(la);
+  const int64_t width = off_bits + len_bits + 8;
+  if ((phase + T * width + 7) / 8 > cap) return -2;
+  std::vector<uint8_t> buf;
+  buf.reserve(static_cast<size_t>((phase + T * width + 7) / 8));
+  BitWriter bw(buf, phase);
   for (int64_t i = 0; i < T; ++i) {
     bw.put(static_cast<uint32_t>(off[i]), off_bits);
     bw.put(len[i], len_bits);

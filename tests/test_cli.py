@@ -97,7 +97,7 @@ def test_decode_backend_flag(tmp_path, capsys, rng):
     inp.write_bytes(data)
     assert run_cli(["-c", "-i", str(inp), "-o", str(comp)]) == 0
     for be, expect in (
-        ("native", {"native"}),
+        ("native", {"native", "native-streamed"}),
         ("host", {"host"}),
         ("device", {"device-walk", "device-chunked"}),
     ):
