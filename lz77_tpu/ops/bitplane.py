@@ -63,12 +63,23 @@ def _pack_mask(cond: jnp.ndarray) -> jnp.ndarray:
     return (cond.astype(jnp.int32) << js).sum(axis=0)
 
 
-def _shift_src(x: jnp.ndarray) -> jnp.ndarray:
-    """Advance source planes one position: y holds bit at (position - 1).
+def _shift_src_k(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Advance source planes k positions at once (static k < nw).
 
-    Word rotate; the wrapped last word moves UP one stripe (``<< 1``).
+    y holds the bit at (position - k): a k-word rotate in the strided
+    layout, with the k wrapped words moving UP one stripe (``<< 1``).
+    Equals k chained single-word shifts (each wrapped word
+    re-wraps only after nw further steps, so for k < nw every wrapped word
+    moves up exactly one stripe).  The sweep derives each unrolled window
+    iteration's planes from the WINDOW-START planes with this, instead of
+    chaining 32 single-word shifts: the nested concat-of-slice chain sent
+    XLA's algebraic simplifier into its circular-rewrite guard (50 runs,
+    "likely stuck" warning) on every CPU compile of the sharded pipelines.
+    Independent shifts of one loop-carried value leave nothing to chain.
     """
-    return jnp.concatenate([x[..., -1:] << 1, x[..., :-1]], axis=-1)
+    if k == 0:
+        return x
+    return jnp.concatenate([x[..., -k:] << 1, x[..., :-k]], axis=-1)
 
 
 def _shift_pos_fwd(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -197,13 +208,13 @@ def _sweep(
     )
 
     def window(widx, st):
-        sp, found, dp = st
+        sp0, found, dp = st
         dp = list(dp)
         base = d_base + widx * _WIN
         win = jnp.zeros((depth, nw), jnp.int32)
         for i in range(_WIN):
             d = base + i + 1  # traced scalar; low 5 bits = (i+1) & 31 static
-            sp = _shift_src(sp)
+            sp = _shift_src_k(sp0, i + 1)
             neq = planes ^ sp[:8]
             acc = neq[0]
             for b in range(1, 8):
@@ -237,7 +248,7 @@ def _sweep(
         for b in range(5, dbits):
             hot = (base >> b) & 1
             dp[b] = jnp.where(hot != 0, dp[b] | win, dp[b])
-        return sp, found, tuple(dp)
+        return _shift_src_k(sp0, _WIN), found, tuple(dp)
 
     _, found, dp = lax.fori_loop(0, n_windows, window, state0)
     return found, jnp.stack(dp)
