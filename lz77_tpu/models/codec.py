@@ -789,14 +789,26 @@ def decode_bytes(
         if params.off_bits <= decode_walk.MAX_OFF_BITS and (
             on_tpu or device_interpret
         ):
-            out = decode_walk.decode_tokens_walk(
-                off.astype(np.int32), ln.astype(np.int32),
-                nxt.astype(np.int32), off_bits=params.off_bits,
-                interpret=device_interpret or not on_tpu,
-            )
-            st.backend = "device-walk"
-            st.output_bytes = len(out)
-            return out
+            try:
+                out = decode_walk.decode_tokens_walk(
+                    off.astype(np.int32), ln.astype(np.int32),
+                    nxt.astype(np.int32), off_bits=params.off_bits,
+                    interpret=device_interpret or not on_tpu,
+                )
+                st.backend = "device-walk"
+                st.output_bytes = len(out)
+                return out
+            except Exception as e:
+                # The widest SMEM ring (off_bits=16, 512 KiB) is verified on
+                # v5e; another TPU generation may fail to fit it at Mosaic
+                # compile time.  Fall back loudly to the chunked XLA decoder
+                # instead of surfacing a kernel compile error.
+                warnings.warn(
+                    f"decode backend='device': walk kernel failed ({e!r}); "
+                    "using the chunked XLA decoder",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         if params.off_bits > decode_walk.MAX_OFF_BITS:
             warnings.warn(
                 f"decode backend='device': stream window needs "

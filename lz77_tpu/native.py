@@ -195,6 +195,33 @@ def pack_tokens(
     return out[: (bits + 7) // 8], int(bits)
 
 
+def pack_tokens_phase(
+    off: np.ndarray, length: np.ndarray, nxt: np.ndarray,
+    params: spec.Params, phase: int,
+) -> tuple[np.ndarray, int]:
+    """Pack tokens starting at bit phase ``phase`` in [0, 8).
+
+    Returns (bytes, payload_bits).  The first byte carries only bits >=
+    phase (low bits zero) so the caller OR-merges it into its trailing
+    partial byte — the native bit writer for non-byte-aligned widths
+    across block boundaries (bitio.c:203-236's job, block-at-a-time).
+    """
+    lib = load()
+    T = off.shape[0]
+    offc = np.ascontiguousarray(off, dtype=np.int32)
+    lenc = np.ascontiguousarray(length, dtype=np.uint8)
+    nxtc = np.ascontiguousarray(nxt, dtype=np.uint8)
+    cap = (phase + T * params.width + 7) // 8 + 8
+    out = np.zeros(cap, np.uint8)
+    bits = lib.lz77_pack_tokens_phase(
+        offc.ctypes.data, lenc.ctypes.data, nxtc.ctypes.data, T,
+        params.la, params.sb, phase, out.ctypes.data, cap,
+    )
+    if bits < 0:
+        raise RuntimeError(f"native phase pack failed: {bits}")
+    return out[: (phase + bits + 7) // 8], int(bits)
+
+
 def unpack_tokens(
     payload: np.ndarray, params: spec.Params
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

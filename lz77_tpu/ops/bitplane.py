@@ -39,6 +39,7 @@ distance window into a handful of VPU loops.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -289,6 +290,19 @@ def find_matches_bitplane_range(
         )
     if span % _WIN:
         raise ValueError(f"span must be a multiple of {_WIN}, got {span}")
+    # The static low-5-bit plane-selection trick assumes d_base = d_lo - 1
+    # is a multiple of 32; a violating d_lo would silently record wrong
+    # distance bit-planes.  Validate when d_lo is concrete (traced values
+    # are the sharded caller's, which sizes spans as multiples of 32).
+    try:
+        d_lo_c = int(d_lo)
+    except (TypeError, jax.errors.TracerIntegerConversionError):
+        d_lo_c = None
+    if d_lo_c is not None and (d_lo_c - 1) % _WIN:
+        raise ValueError(
+            f"d_lo must be 1 (mod {_WIN}) for the static distance-plane "
+            f"selection to hold, got {d_lo_c}"
+        )
     R = right.shape[0]
 
     n_real = H + B + R
@@ -311,8 +325,8 @@ def find_matches_bitplane_range(
     dbits = max(dlim.bit_length(), 6)
     found, dp = _sweep(
         planes, vplane,
-        d_base=(d_lo - 1).astype(jnp.int32),
-        d_hi=jnp.minimum(d_hi, dlim + 1).astype(jnp.int32),
+        d_base=jnp.asarray(d_lo - 1, jnp.int32),
+        d_hi=jnp.minimum(jnp.asarray(d_hi, jnp.int32), dlim + 1),
         n_windows=span // _WIN, nw=nw, depth=depth, dlim=dlim, dbits=dbits,
     )
     return _extract(

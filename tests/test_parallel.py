@@ -215,3 +215,21 @@ def test_distributed_single_process_encode(rng):
     p = spec.Params(la=15, sb=255)
     s = distributed.encode_bytes_multihost(data, p, block_size=1024)
     assert codec.decode_bytes(s) == data
+
+
+def test_sharded_xla_native_phase_pack_odd_widths(rng):
+    """Non-byte-aligned sharded fallback: device-compacted token words +
+    native phase-aware bit pack (4 B/token host traffic, bitio.c:203-236's
+    job done a block at a time).  Odd widths force sub-byte phase carry
+    across every batch boundary; streams must equal the serial host parse
+    bit for bit."""
+    data = make_text(rng, 30_000) + b"\x00" * 5_000
+    m = mesh_lib.make_mesh(n_data=4, n_win=1)
+    for p in (spec.Params(la=9, sb=511),     # width 21
+              spec.Params(la=20, sb=4095)):  # width 25
+        s = sharded.encode_bytes_sharded(
+            data, p, mesh=m, block_size=2048, batch_blocks=8
+        )
+        assert s == codec.encode_bytes(data, p, block_size=2048,
+                                       batch_blocks=8)
+        assert codec.decode_bytes(s) == data
