@@ -122,16 +122,42 @@ def run_conformance(
     return rows
 
 
+def _chunk_equal(a_path: str, b_path: str, n: int) -> bool:
+    import numpy as np
+
+    if os.path.getsize(b_path) != n:
+        return False
+    a = np.memmap(a_path, dtype=np.uint8, mode="r")
+    b = np.memmap(b_path, dtype=np.uint8, mode="r")
+    step = 64 << 20
+    for s0 in range(0, n, step):
+        if not np.array_equal(a[s0 : s0 + step], b[s0 : s0 + step]):
+            return False
+    return True
+
+
 def run_big_streamed(gigabytes: float, workdir: str,
                      matcher: str = "chunked",
                      block_size: int | None = None,
-                     batch_blocks: int | None = None) -> dict:
+                     batch_blocks: int | None = None,
+                     pipeline: str = "host") -> dict:
     """Memmap-streamed encode_file of a multi-GB input with a manifest.
 
-    The input is written to disk once (deterministic mixed corpus tiles),
-    encoded through the bounded-memory manifest path, and decode-verified
-    in streamed chunks.
+    The input is written to disk once (deterministic mixed corpus tiles)
+    and encoded through the bounded-memory manifest path — ``pipeline``
+    selects the engine ('host' = device match + host parse; 'fused' = the
+    device-resident match+parse+pack pipeline).  Verification is two-fold:
+
+    * **self**: the framework's own streamed bounded-memory decoder
+      (``lz77 -d`` CLI in a subprocess — O(window) RSS, recorded), chunk-
+      compared against the source.  The framework verifies its own product
+      at multi-GB scale (round 3 had to outsource this to the C binary).
+    * **oracle**: the C reference binary decodes the same stream
+      file-to-file, cross-checking the format contract.
     """
+    import resource
+    import numpy as np  # noqa: F401  (chunk compare helper)
+
     from .models import codec
 
     n = int(gigabytes * (1 << 30))
@@ -154,67 +180,62 @@ def run_big_streamed(gigabytes: float, workdir: str,
         kwargs["block_size"] = block_size
     if batch_blocks:
         kwargs["batch_blocks"] = batch_blocks
-    import resource
 
     t0 = time.perf_counter()
     codec.encode_file(
         src, dst, params, matcher=matcher, stats=stats,
-        manifest_path=dst + ".manifest", **kwargs,
+        manifest_path=dst + ".manifest", pipeline=pipeline, **kwargs,
     )
     enc_s = time.perf_counter() - t0
     # Peak RSS up to this point proves the bounded-memory claim for the
-    # encode path itself (the decode verification below deliberately loads
-    # the whole output, so it is excluded by sampling here).
+    # encode path itself.
     enc_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-    # Verification: prefer the C reference binary, file-to-file in a
-    # subprocess — this keeps the measuring process's RSS bounded AND turns
-    # the big run into an oracle cross-check at multi-GB scale.  Fall back
-    # to the in-process native decoder when the reference isn't mounted.
-    import numpy as np
 
-    oracle = build_oracle(workdir)
+    # Self-verification: our streamed decoder, file-to-file in a CLI
+    # subprocess (its child ru_maxrss pins the O(window) decode claim).
+    dec_path = os.path.join(workdir, "big.dec")
     t0 = time.perf_counter()
-    if oracle is not None:
-        dec_path = os.path.join(workdir, "big.dec")
-        _ref_run(oracle, "-d", dst, dec_path)
-        dec_s = time.perf_counter() - t0
-        verifier = "c-reference"
-        ok = os.path.getsize(dec_path) == n
-        if ok:
-            a = np.memmap(src, dtype=np.uint8, mode="r")
-            b = np.memmap(dec_path, dtype=np.uint8, mode="r")
-            step = 64 << 20
-            for s0 in range(0, n, step):
-                if not np.array_equal(a[s0 : s0 + step], b[s0 : s0 + step]):
-                    ok = False
-                    break
+    res = subprocess.run(
+        [sys.executable, "-m", "lz77_tpu.cli", "-d", "-i", dst,
+         "-o", dec_path],
+        capture_output=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))),
+    )
+    self_dec_s = time.perf_counter() - t0
+    self_rss_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024
+    ok_self = res.returncode == 0 and _chunk_equal(src, dec_path, n)
+    if os.path.exists(dec_path):
         os.unlink(dec_path)
-    else:
-        from . import native
 
-        out = native.decode(open(dst, "rb").read())
-        dec_s = time.perf_counter() - t0
-        verifier = "native"
-        srcmap = np.memmap(src, dtype=np.uint8, mode="r")
-        ok = len(out) == n
-        if ok:
-            ob = np.frombuffer(out, np.uint8)
-            step = 64 << 20
-            for s0 in range(0, n, step):
-                if not np.array_equal(
-                    ob[s0 : s0 + step], srcmap[s0 : s0 + step]
-                ):
-                    ok = False
-                    break
+    # Oracle cross-check: the C reference binary decodes the same stream.
+    oracle = build_oracle(workdir)
+    ok_oracle = None
+    oracle_dec_s = None
+    if oracle is not None:
+        t0 = time.perf_counter()
+        _ref_run(oracle, "-d", dst, dec_path)
+        oracle_dec_s = time.perf_counter() - t0
+        ok_oracle = _chunk_equal(src, dec_path, n)
+        os.unlink(dec_path)
+
     return {
         "input_bytes": n,
         "output_bytes": stats.output_bytes,
         "ratio": round(stats.output_bytes / n, 4),
+        "pipeline": pipeline,
         "encode_mb_s": round(n / enc_s / 1e6, 2),
-        "decode_mb_s": round(n / dec_s / 1e6, 2),
         "encode_peak_rss_mb": round(enc_rss_mb, 1),
-        "verified": ok,
-        "verifier": verifier,
+        "page_release": stats.page_release,
+        "self_decode_mb_s": round(n / self_dec_s / 1e6, 2),
+        "self_decode_peak_rss_mb": round(self_rss_mb, 1),
+        "oracle_decode_mb_s": (
+            round(n / oracle_dec_s / 1e6, 2) if oracle_dec_s else None
+        ),
+        "verified": ok_self and (ok_oracle is not False),
+        "verifier": "self-streamed+c-reference" if ok_oracle is not None
+        else "self-streamed",
+        "self_verified": ok_self,
+        "oracle_verified": ok_oracle,
         "phases": stats.phases.as_dict(),
     }
 
@@ -243,6 +264,8 @@ def main(argv=None) -> int:
     ap.add_argument("--big-matcher", default="chunked")
     ap.add_argument("--big-block-size", type=int, default=None)
     ap.add_argument("--big-batch-blocks", type=int, default=None)
+    ap.add_argument("--big-pipeline", default="host",
+                    choices=("host", "fused", "sharded"))
     args = ap.parse_args(argv)
 
     with tempfile.TemporaryDirectory() as wd:
@@ -253,6 +276,7 @@ def main(argv=None) -> int:
                 args.big, wd, matcher=args.big_matcher,
                 block_size=args.big_block_size,
                 batch_blocks=args.big_batch_blocks,
+                pipeline=args.big_pipeline,
             )
     ok = all(
         r["roundtrip"] and r.get("size_le_ref", True)

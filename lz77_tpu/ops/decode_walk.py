@@ -259,6 +259,272 @@ def stage_tokens(
     return w.reshape(ng, ROWS, tchunk), ng
 
 
+# ---------------------------------------------------------------------------
+# Packed-ring variant: 4 decoded bytes per int32 ring word.
+#
+# The byte-per-word kernel's copy loop moves one byte per ring op; the
+# packed layout moves four (funnel shift when the source offset is not
+# word-aligned), at the price of read-modify-write blends at token
+# boundaries.  Because writes advance strictly sequentially, the current
+# (incomplete) output word lives in a register-like SMEM slot ``cw`` and
+# the destination side never loads: a token's copy flushes ``cw``, blends
+# its first word, wildcopies whole words (up to 3 bytes of overshoot onto
+# future positions, rewritten before anything reads them), then reloads
+# ``cw`` from the ring.  The ring shrinks 4x (2^(off_bits+1) BYTES = up to
+# 32 K words = 128 KiB SMEM at sb=65535) and the HBM/host side moves packed
+# bytes (no device-side int32->uint8 cast, 4x smaller fetch).
+# Replays lz77.c:178-188's byte-serial loop at word granularity.
+#
+# MEASURED DEAD END on v5e (round 4, slope-timed, bit-exact before timing):
+# text 82.8 MB/s vs the byte-ring's 94.6; runs 158.0 vs 158.9; sb=65535
+# text 105.7 vs 113.2.  At la=15's ~5.3-byte average matches the copy is
+# one blended first word + ~1 funnel word — no fewer ring ops than two
+# 4-wide wildcopy groups — while the cw bookkeeping (flush, blend, reload,
+# literal RMW) adds ~8 ops to the ~15-op/token fixed cost that already
+# dominates (ROOFLINE.md).  Equal runs throughput despite 4x fewer stores
+# confirms the kernel is fixed-cost-bound, not store-bound.  Kept in-tree
+# (tested bit-exact in interpret mode) as the measured record; the
+# byte-ring kernel remains the production decode backend.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_packed(scal_ref, tok_ref, out_ref, cnt_ref, ring, st, sem,
+                   *, ng, tchunk, rw):
+    gidx = pl.program_id(0)
+    T = scal_ref[0]
+    wmask = rw - 1                      # ring WORD index mask
+    i32 = jnp.int32
+
+    @pl.when(gidx == 0)
+    def _():
+        st[0] = 0  # p: output BYTE cursor
+        st[1] = 0  # fl: next output TILE (of int32 words) to flush
+        st[2] = 0  # cw: current (incomplete) output word
+
+    def flush(k):
+        src0 = pl.multiple_of((k * TILE) & wmask, TILE)
+        dst0 = pl.multiple_of(k * TILE, TILE)
+        dma = pltpu.make_async_copy(
+            ring.at[pl.ds(src0, TILE)], out_ref.at[pl.ds(dst0, TILE)], sem
+        )
+        dma.start()
+        dma.wait()
+        return k + 1
+
+    def funnel(s):
+        # the 4 decoded bytes starting at byte position s, packed LE
+        sw = lax.shift_right_logical(s, 2)
+        a = s & 3
+        w0 = ring[sw & wmask]
+        w1 = ring[(sw + 1) & wmask]
+        lo = lax.shift_right_logical(w0, 8 * a)
+        hi = w1 << (8 * ((4 - a) & 3))  # a==0 branch discards this
+        return jnp.where(a == 0, w0, lo | hi)
+
+    def sub(r, carry):
+        p0, fl0, cw0 = carry
+        base = (gidx * ROWS + r) * tchunk
+        end = jnp.minimum(tchunk, T - base)
+
+        def cond(sv):
+            i, _, _, _ = sv
+            return i < end
+
+        def body(sv):
+            i, p, fl, cw = sv
+            w = tok_ref[0, r, i]
+            off = w & 0xFFFF
+            ln = lax.shift_right_logical(w, 16) & 0xFF
+            nxt = lax.shift_right_logical(w, 24)
+            qe = p + ln
+            lane = p & 3
+            wi = lax.shift_right_logical(p, 2)
+
+            def copy_fast(cw):
+                # off >= 4: flush cw, blend the first word, wildcopy whole
+                # words (overshoot <= 3 bytes onto future positions), then
+                # reload cw.  Sources always sit >= 4 bytes behind the
+                # write cursor, so every funnel reads completed ring bytes
+                # (the just-stored word included — strictly serial order).
+                ring[wi & wmask] = cw
+                s = p - off
+                v0 = funnel(s)
+                ring[wi & wmask] = cw | (v0 << (8 * lane))
+                filled = 4 - lane
+
+                def g(c):
+                    p1, s1 = c
+                    ring[lax.shift_right_logical(p1, 2) & wmask] = funnel(s1)
+                    return p1 + 4, s1 + 4
+
+                lax.while_loop(
+                    lambda c: c[0] < qe, g, (p + filled, s + filled)
+                )
+                lane_e = qe & 3
+                return (
+                    ring[lax.shift_right_logical(qe, 2) & wmask]
+                    & ((i32(1) << (8 * lane_e)) - 1)
+                )
+
+            def copy_splat(cw):
+                # off == 1: replicate one byte (RLE-on-runs workhorse)
+                pw = lax.shift_right_logical(p - 1, 2)
+                src_w = jnp.where(lane > 0, cw, ring[pw & wmask])
+                b = lax.shift_right_logical(src_w, 8 * ((p - 1) & 3)) & 0xFF
+                bb = b * i32(0x01010101)
+                ring[wi & wmask] = cw | (bb << (8 * lane))
+
+                def g(p1):
+                    ring[lax.shift_right_logical(p1, 2) & wmask] = bb
+                    return p1 + 4
+
+                lax.while_loop(lambda p1: p1 < qe, g, p + (4 - lane))
+                lane_e = qe & 3
+                return (
+                    ring[lax.shift_right_logical(qe, 2) & wmask]
+                    & ((i32(1) << (8 * lane_e)) - 1)
+                )
+
+            def copy_slow(cw):
+                # off in {2, 3}: overlapping byte-serial replay through cw
+                def g(c):
+                    q1, cwq = c
+                    sq = q1 - off
+                    sw = lax.shift_right_logical(sq, 2)
+                    qw = lax.shift_right_logical(q1, 2)
+                    vw = jnp.where(sw == qw, cwq, ring[sw & wmask])
+                    b = lax.shift_right_logical(vw, 8 * (sq & 3)) & 0xFF
+                    lq = q1 & 3
+                    cwq = cwq | (b << (8 * lq))
+                    full = lq == 3
+                    ring[qw & wmask] = cwq  # idempotent until word completes
+                    return q1 + 1, jnp.where(full, 0, cwq)
+
+                _, cwe = lax.while_loop(lambda c: c[0] < qe, g, (p, cw))
+                return cwe
+
+            cw = lax.cond(
+                ln == 0,
+                lambda c: c,
+                lambda c: lax.cond(
+                    off >= 4, copy_fast,
+                    lambda c2: lax.cond(off == 1, copy_splat, copy_slow, c2),
+                    c,
+                ),
+                cw,
+            )
+
+            # literal byte
+            lane_q = qe & 3
+            cw = cw | (nxt << (8 * lane_q))
+            qw = lax.shift_right_logical(qe, 2)
+            @pl.when(lane_q == 3)
+            def _():
+                ring[qw & wmask] = cw
+            cw = jnp.where(lane_q == 3, 0, cw)
+            p = qe + 1
+
+            # flush completed word-tiles (words < p>>2 are final)
+            fl = lax.while_loop(
+                lambda k: k < lax.shift_right_logical(p, 2) // TILE, flush, fl
+            )
+            return i + 1, p, fl, cw
+
+        _, p, fl, cw = lax.while_loop(cond, body, (0, p0, fl0, cw0))
+        return p, fl, cw
+
+    p, fl, cw = lax.fori_loop(0, ROWS, sub, (st[0], st[1], st[2]))
+    st[0] = p
+    st[1] = fl
+    st[2] = cw
+
+    @pl.when(gidx == ng - 1)
+    def _():
+        # store the final partial word, then flush the last partial tile
+        @pl.when((p & 3) != 0)
+        def _():
+            ring[lax.shift_right_logical(p, 2) & wmask] = cw
+        words = lax.shift_right_logical(p + 3, 2)
+        lax.cond(fl * TILE < words, flush, lambda k: k, fl)
+        cnt_ref[0] = p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ng", "tchunk", "off_bits", "out_cap_words", "interpret"),
+)
+def walk_decode_packed(
+    toks3d: jnp.ndarray,  # (ng, ROWS, tchunk) int32 packed tokens
+    total: jnp.ndarray,   # scalar int32: real token count T
+    *,
+    ng: int,
+    tchunk: int,
+    off_bits: int,
+    out_cap_words: int,   # TILE-multiple >= ceil((sum(len)+T)/4)
+    interpret: bool = False,
+):
+    """Replay tokens -> (packed_bytes_i32, out_len_bytes)."""
+    if off_bits > MAX_OFF_BITS:
+        raise ValueError(
+            f"walk decode supports off_bits <= {MAX_OFF_BITS}, got {off_bits}"
+        )
+    rw = max(2 * TILE, (1 << (off_bits + 1)) // 4)
+    kf = functools.partial(_kernel_packed, ng=ng, tchunk=tchunk, rw=rw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, tchunk), lambda c, *_: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((rw,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    scal = jnp.asarray(total, jnp.int32)[None]
+    out, cnt = pl.pallas_call(
+        kf,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_cap_words,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scal, toks3d)
+    return out, cnt[0]
+
+
+def decode_tokens_walk_packed(
+    off: np.ndarray, ln: np.ndarray, nxt: np.ndarray,
+    *,
+    off_bits: int,
+    tchunk: int = DEFAULT_TCHUNK,
+    interpret: bool = False,
+) -> bytes:
+    """Decode a full token list on device via the packed-ring walk kernel."""
+    T = int(off.shape[0])
+    if T == 0:
+        return b""
+    toks3d, ng = stage_tokens(off, ln, nxt, tchunk)
+    out_len = int(ln.sum()) + T
+    out_cap_words = -(-(out_len // 4 + 2) // TILE) * TILE
+    out, cnt = walk_decode_packed(
+        jnp.asarray(toks3d), jnp.int32(T),
+        ng=ng, tchunk=tchunk, off_bits=off_bits,
+        out_cap_words=out_cap_words, interpret=interpret,
+    )
+    b = np.asarray(out).view(np.uint8)
+    n = int(cnt)
+    assert n == out_len, (n, out_len)
+    return b[:n].tobytes()
+
+
 def decode_tokens_walk(
     off: np.ndarray, ln: np.ndarray, nxt: np.ndarray,
     *,
