@@ -629,10 +629,19 @@ def iter_batches_sharded(
                         np.asarray(O).reshape(-1)[:span],
                     )
 
-                words, exit_over = _resync_shard(
-                    words, entry_cur, vt_i, Lh, Oh, xs, params, fetch_full,
-                    stats=stats,
-                )
+                if stats is not None:
+                    from ..utils import metrics as metrics_lib
+
+                    with metrics_lib.StopwatchPhase(stats.phases, "resync"):
+                        words, exit_over = _resync_shard(
+                            words, entry_cur, vt_i, Lh, Oh, xs, params,
+                            fetch_full, stats=stats,
+                        )
+                else:
+                    words, exit_over = _resync_shard(
+                        words, entry_cur, vt_i, Lh, Oh, xs, params,
+                        fetch_full,
+                    )
                 if exit_over is None:
                     exit_over = int(exits_h[i])
             batch_parts.append(
