@@ -371,6 +371,8 @@ def measure_tpu(size_mb: int) -> dict | None:
 
 
 def measure_native(size_mb: int) -> dict | None:
+    import tempfile
+
     from lz77_tpu import native, spec
     from lz77_tpu.models import codec
 
@@ -381,6 +383,22 @@ def measure_native(size_mb: int) -> dict | None:
     )
     if r is not None:
         r["device"] = "cpu-native"
+        # Streamed file-to-file decode (the CLI default route): O(window)
+        # memory, includes file I/O on both sides.
+        with tempfile.TemporaryDirectory() as td:
+            sp = os.path.join(td, "s.lz")
+            op = os.path.join(td, "out")
+            with open(sp, "wb") as f:
+                f.write(native.encode(data, params))
+            n = native.decode_file(sp, op)
+            ok = n == len(data) and open(op, "rb").read() == data
+            if ok:
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    native.decode_file(sp, op)
+                    best = min(best, time.perf_counter() - t0)
+                r["decode_file_mb_s"] = len(data) / best / 1e6
     return r
 
 
@@ -398,7 +416,7 @@ def emit(r: dict, size_mb: int, tpu=None, native=None) -> None:
                   "sharded_device_encode_mb_s", "sharded_mesh",
                   "sharded_e2e_mb_s", "sharded_resyncs",
                   "sharded_resync_head_tokens", "sharded_resync_bulk",
-                  "sharded_resync_ms_per_mb",
+                  "sharded_resync_ms_per_mb", "decode_file_mb_s",
                   "decode_backend", "spread"):
             if k in d:
                 sub_d[k] = (
