@@ -226,6 +226,10 @@ def run_big_streamed(gigabytes: float, workdir: str,
         "encode_mb_s": round(n / enc_s / 1e6, 2),
         "encode_peak_rss_mb": round(enc_rss_mb, 1),
         "page_release": stats.page_release,
+        "h2d_bytes_per_input_byte": round(stats.h2d_bytes / n, 3)
+        if stats.h2d_bytes else None,
+        "d2h_bytes_per_input_byte": round(stats.d2h_bytes / n, 3)
+        if stats.d2h_bytes else None,
         "self_decode_mb_s": round(n / self_dec_s / 1e6, 2),
         "self_decode_peak_rss_mb": round(self_rss_mb, 1),
         "oracle_decode_mb_s": (

@@ -67,6 +67,13 @@ class EncodeStats:
     # run — False when the input is not a memmap or the private
     # numpy/mmap surface changed (makes RSS regressions diagnosable).
     page_release: bool = False
+    # Host<->device transfer accounting (fused/sharded pipelines): bytes
+    # staged to the device and bytes fetched back.  The scarce resource in
+    # this environment is the WAN tunnel; in production it is PCIe/ICI —
+    # either way the per-input-byte traffic ratio is the number that
+    # explains end-to-end throughput (docs/BIGRUN.md).
+    h2d_bytes: int = 0
+    d2h_bytes: int = 0
     phases: metrics_lib.PhaseTimes = dataclasses.field(
         default_factory=metrics_lib.PhaseTimes
     )
@@ -635,7 +642,7 @@ def _encode_file_batched(
             return fused_lib.iter_batches_fused(
                 x, params, block_size=block_size,
                 batch_blocks=batch_blocks, matcher=matcher,
-                start_batch=start_batch, entry=entry, phases=st.phases,
+                start_batch=start_batch, entry=entry, stats=st,
             )
 
     releaser = _PageReleaser(x, keep_margin=params.d_limit)

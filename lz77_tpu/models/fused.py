@@ -248,10 +248,19 @@ def encode_batch_device(
 
 
 def _bucket(nbytes: int) -> int:
-    """Fetch-size bucket: next power of two (few distinct compiled slices)."""
+    """Fetch-size bucket (few distinct compiled device slices).
+
+    Power-of-two below 1 MiB, then 1 MiB steps: a pure power-of-two bucket
+    overfetches up to 2x on multi-MB payloads, which is real tunnel/PCIe
+    traffic at file scale (a ~4.2 MB batch payload used to fetch 8 MB);
+    1 MiB quantization caps the overfetch at <1 MiB while keeping the
+    number of distinct compiled slice shapes small.
+    """
     if nbytes <= 0:
         return 0
-    return 1 << max(12, (nbytes - 1).bit_length())
+    if nbytes <= (1 << 20):
+        return 1 << max(12, (nbytes - 1).bit_length())
+    return -(-nbytes // (1 << 20)) * (1 << 20)
 
 
 def _resolve_fused_config(
@@ -302,6 +311,7 @@ def iter_batches_fused(
     start_batch: int = 0,
     entry: int = 0,
     phases=None,
+    stats=None,
 ):
     """Yield (batch_index, e_in, e_out, token_count, payload_bytes) per batch.
 
@@ -326,6 +336,8 @@ def iter_batches_fused(
     nblocks = -(-n // B)
     num_batches = -(-nblocks // G)
     step_fn = encode_batch_walk if parser == "walk" else encode_batch_device
+    if phases is None and stats is not None:
+        phases = stats.phases
     ph = phases if phases is not None else metrics_lib.PhaseTimes()
 
     def submit(bi: int, entry_dev):
@@ -335,6 +347,8 @@ def iter_batches_fused(
             x, n, g0, gn, G, B, H, R
         )
         vt = min(G * B, n - g0 * B)
+        if stats is not None:
+            stats.h2d_bytes += sum(a.nbytes for a in (gb, gh, gr, ga, gv))
         payload, counts, total, exit_entry = step_fn(
             jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
             jnp.asarray(ga), jnp.asarray(gv),
@@ -353,7 +367,10 @@ def iter_batches_fused(
                 bk = min(_bucket(nbytes), payload.shape[0])
                 buf = np.asarray(payload[:bk])[:nbytes].tobytes()
             else:
+                bk = 0
                 buf = b""
+            if stats is not None:
+                stats.d2h_bytes += bk + 8
         return bi, e_in, ex, tot, buf
 
     entry_dev = jnp.int32(entry)
@@ -412,7 +429,7 @@ def encode_bytes_fused(
         for _, _, _, tok, payload in iter_batches_fused(
             x, params, block_size=block_size, batch_blocks=batch_blocks,
             matcher=matcher, sub_block=sub_block, parser=parser,
-            phases=st.phases,
+            stats=st,
         ):
             total_tokens += tok
             if payload:

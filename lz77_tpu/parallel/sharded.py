@@ -572,6 +572,8 @@ def iter_batches_sharded(
         gn = min(G, nblocks - g0)
         gb, gh, gr, ga, gv = codec_model._batch_inputs(x, n, g0, gn, G, B, H, R)
         vt = min(G * B, n - g0 * B)
+        if stats is not None:
+            stats.h2d_bytes += sum(a.nbytes for a in (gb, gh, gr, ga, gv))
         return bi, vt, step(
             jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
             jnp.asarray(ga), jnp.asarray(gv), jnp.int32(vt),
@@ -580,9 +582,13 @@ def iter_batches_sharded(
     state = {"entry": entry}
 
     def process(handle):
+        from ..models import fused as fused_lib
+
         bi, vt_batch, (tokens, counts, exits, l_head, o_head) = handle
         counts_h = np.asarray(counts)
         exits_h = np.asarray(exits)
+        if stats is not None:
+            stats.d2h_bytes += counts_h.nbytes + exits_h.nbytes
         e_in = state["entry"]
         entry_cur = e_in
         batch_parts: list[bytes] = []
@@ -592,10 +598,12 @@ def iter_batches_sharded(
             if vt_i == 0:
                 continue  # padded shard: entry passes through unchanged
             c = int(counts_h[i])
-            # bucketed fetch: few distinct compiled device slices
-            bk = min(1 << max(12, (c - 1).bit_length()), Tcap)
+            # bucketed fetch: few distinct compiled device slices, 1 MiB
+            # quantization above 1 MiB (fused._bucket)
+            bk = min(max(1, fused_lib._bucket(c * 4) // 4), Tcap)
             words = np.asarray(tokens[i * Tcap : i * Tcap + bk])[:c]
             if stats is not None:
+                stats.d2h_bytes += bk * 4
                 stats.shards += 1
             if entry_cur == 0:
                 exit_over = int(exits_h[i])
@@ -608,6 +616,8 @@ def iter_batches_sharded(
                     ])
                 Lh = np.asarray(l_head[i])
                 Oh = np.asarray(o_head[i])
+                if stats is not None:
+                    stats.d2h_bytes += Lh.nbytes + Oh.nbytes
 
                 def fetch_full(i=i):
                     # adversarial never-resync fallback: one bulk fetch of
