@@ -268,51 +268,80 @@ def main(argv: list[str] | None = None) -> int:
             }), file=sys.stderr)
         return 0
 
+    # jax-backend encode streams file-to-file (memmap input + page release,
+    # payload appended as batches land — bounded memory at any input size,
+    # like the reference's FILE loop), with or without a manifest.  The one
+    # exception: non-byte-aligned widths under the fused/sharded pipelines
+    # still run the in-memory bytes path (the sharded XLA fallback).
+    if (
+        args.mode == "encode"
+        and args.backend == "jax"
+        and (args.pipeline == "host" or params.width % 8 == 0)
+    ):
+        from .models import codec
+
+        stats = codec.EncodeStats()
+        try:
+            kwargs = _block_kwargs(args, params)
+            if args.pipeline == "sharded":
+                import jax
+
+                from .parallel import mesh as mesh_lib
+
+                kwargs["mesh"] = _make_mesh_from_args(args)
+                kwargs["interpret"] = jax.devices()[0].platform == "cpu"
+                kwargs.setdefault(
+                    "batch_blocks",
+                    2 * kwargs["mesh"].shape[mesh_lib.DATA_AXIS],
+                )
+            from .utils import profiling
+
+            with profiling.trace(args.profile):
+                codec.encode_file(
+                    args.input[0], args.output[0], params,
+                    matcher=args.matcher, stats=stats,
+                    manifest_path=args.manifest,
+                    resume=args.resume, pipeline=args.pipeline, **kwargs,
+                )
+        except (ValueError, RuntimeError) as e:
+            print(f"Encode error: {e}", file=sys.stderr)
+            return 1
+        if args.report:
+            dt = time.perf_counter() - t0
+            rep = {
+                "mode": "encode", "backend": "jax",
+                "resumable": bool(args.manifest),
+                "pipeline": args.pipeline, "matcher": args.matcher,
+                "seconds": round(dt, 6), "input_bytes": stats.input_bytes,
+                "output_bytes": stats.output_bytes, "tokens": stats.tokens,
+                "blocks": stats.blocks, "ratio": round(stats.ratio, 6),
+                "page_release": stats.page_release,
+                "mb_per_s": round(stats.input_bytes / dt / 1e6, 3)
+                if dt > 0 else None,
+                "phases": {
+                    k: round(v, 6)
+                    for k, v in stats.phases.as_dict().items()
+                },
+            }
+            if stats.h2d_bytes:
+                rep["h2d_bytes"] = stats.h2d_bytes
+                rep["d2h_bytes"] = stats.d2h_bytes
+            if stats.shards:
+                rep["shards"] = stats.shards
+                rep["resyncs"] = stats.resyncs
+                rep["resync_head_tokens"] = stats.resync_head_tokens
+                rep["resync_bulk"] = stats.resync_bulk
+            print(json.dumps(rep), file=sys.stderr)
+        return 0
+
+    # Remaining paths (numpy/native backends; host/device decode backends;
+    # non-byte-aligned fused/sharded encode) operate on in-memory bytes.
     try:
         with open(args.input[0], "rb") as f:
             data = f.read()
     except OSError as e:
         print(f"Opening input file: {e.strerror}", file=sys.stderr)
         return 1
-    if args.mode == "encode" and args.manifest and args.backend == "jax":
-        from .models import codec
-
-        stats = codec.EncodeStats()
-        kwargs = _block_kwargs(args, params)
-        if args.pipeline == "sharded":
-            import jax
-
-            from .parallel import mesh as mesh_lib
-
-            kwargs["mesh"] = _make_mesh_from_args(args)
-            kwargs["interpret"] = jax.devices()[0].platform == "cpu"
-            kwargs.setdefault(
-                "batch_blocks", 2 * kwargs["mesh"].shape[mesh_lib.DATA_AXIS]
-            )
-        try:
-            codec.encode_file(
-                args.input[0], args.output[0], params, matcher=args.matcher,
-                stats=stats, manifest_path=args.manifest,
-                resume=args.resume, pipeline=args.pipeline, **kwargs,
-            )
-        except (ValueError, RuntimeError) as e:
-            print(f"Encode error: {e}", file=sys.stderr)
-            return 1
-        if args.report:
-            dt = time.perf_counter() - t0
-            print(json.dumps({
-                "mode": "encode", "backend": "jax", "resumable": True,
-                "pipeline": args.pipeline,
-                "seconds": round(dt, 6), "input_bytes": stats.input_bytes,
-                "output_bytes": stats.output_bytes, "tokens": stats.tokens,
-                "blocks": stats.blocks, "ratio": round(stats.ratio, 6),
-                "page_release": stats.page_release,
-                "phases": {
-                    k: round(v, 6)
-                    for k, v in stats.phases.as_dict().items()
-                },
-            }), file=sys.stderr)
-        return 0
     try:
         from .utils import profiling
 
