@@ -312,6 +312,7 @@ def iter_batches_fused(
     entry: int = 0,
     phases=None,
     stats=None,
+    retries: int = 2,
 ):
     """Yield (batch_index, e_in, e_out, token_count, payload_bytes) per batch.
 
@@ -373,20 +374,29 @@ def iter_batches_fused(
                 stats.d2h_bytes += bk + 8
         return bi, e_in, ex, tot, buf
 
+    from ..utils import faults as faults_lib
+
     entry_dev = jnp.int32(entry)
     e_in = int(entry)
     pending = None
     for bi in range(start_batch, num_batches):
         with metrics_lib.StopwatchPhase(ph, "io"):
-            nxt = submit(bi, entry_dev)
+            # Failed device batches retry (SURVEY.md §5): batches are
+            # independent up to the entry scalar, which submit re-derives
+            # from the still-live previous device value.
+            nxt = faults_lib.with_retries(
+                submit, bi, entry_dev, retries=retries
+            )
             entry_dev = nxt[3]
         if pending is not None:
-            out = fetch(pending, e_in)
+            out = faults_lib.with_retries(
+                fetch, pending, e_in, retries=retries
+            )
             e_in = out[2]
             yield out
         pending = nxt
     if pending is not None:
-        yield fetch(pending, e_in)
+        yield faults_lib.with_retries(fetch, pending, e_in, retries=retries)
 
 
 def encode_bytes_fused(

@@ -533,6 +533,7 @@ def iter_batches_sharded(
     start_batch: int = 0,
     entry: int = 0,
     stats=None,
+    retries: int = 2,
 ):
     """Yield (batch_index, e_in, e_out, token_count, payload_bytes) per batch.
 
@@ -585,8 +586,7 @@ def iter_batches_sharded(
         from ..models import fused as fused_lib
 
         bi, vt_batch, (tokens, counts, exits, l_head, o_head) = handle
-        counts_h = np.asarray(counts)
-        exits_h = np.asarray(exits)
+        counts_h, exits_h = jax.device_get((counts, exits))  # one round trip
         if stats is not None:
             stats.d2h_bytes += counts_h.nbytes + exits_h.nbytes
         e_in = state["entry"]
@@ -614,8 +614,7 @@ def iter_batches_sharded(
                     xs = np.concatenate([
                         xs, np.zeros(vt_i + params.la - xs.shape[0], np.uint8)
                     ])
-                Lh = np.asarray(l_head[i])
-                Oh = np.asarray(o_head[i])
+                Lh, Oh = jax.device_get((l_head[i], o_head[i]))
                 if stats is not None:
                     stats.d2h_bytes += Lh.nbytes + Oh.nbytes
 
@@ -662,14 +661,20 @@ def iter_batches_sharded(
         state["entry"] = entry_cur
         return bi, e_in, entry_cur, batch_tokens, b"".join(batch_parts)
 
+    from ..utils import faults as faults_lib
+
+    # Failed batches retry (SURVEY.md §5).  process() is safe to re-run
+    # whole: the entry carry commits only at its end and payload parts are
+    # local (resync counters may double-count on a retried batch — they
+    # are observability, not correctness).
     pending = None
     for bi in range(start_batch, num_batches):
-        nxt = submit(bi)
+        nxt = faults_lib.with_retries(submit, bi, retries=retries)
         if pending is not None:
-            yield process(pending)
+            yield faults_lib.with_retries(process, pending, retries=retries)
         pending = nxt
     if pending is not None:
-        yield process(pending)
+        yield faults_lib.with_retries(process, pending, retries=retries)
 
 
 def encode_bytes_sharded(

@@ -66,5 +66,8 @@ def test_big_streamed_small(tmp_path):
     )
     assert r["verified"]
     assert r["input_bytes"] == int(0.002 * (1 << 30))
-    assert r["verifier"] in ("c-reference", "native")
+    # round 4: the framework self-verifies with its streamed decoder and
+    # cross-checks with the C oracle when present
+    assert r["verifier"] in ("self-streamed+c-reference", "self-streamed")
+    assert r["self_verified"]
     assert 0 < r["ratio"] < 1.2

@@ -123,3 +123,25 @@ def test_cli_manifest_honors_pipeline(tmp_path, payload, ref_stream):
     ])
     assert rc == 0
     assert op.read_bytes() == ref_stream
+
+
+def test_fused_iterator_retries_transient_device_failure(
+    monkeypatch, payload, ref_stream
+):
+    """A transient device-batch failure retries instead of killing the run
+    (SURVEY.md §5 — batches are independent up to the entry scalar)."""
+    calls = {"n": 0}
+    orig = fused.encode_batch_device
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("transient device failure")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fused, "encode_batch_device", flaky)
+    s = fused.encode_bytes_fused(
+        payload, spec.Params(), block_size=16384, batch_blocks=4
+    )
+    assert s == ref_stream
+    assert calls["n"] > 2  # the failed call was retried
