@@ -233,10 +233,13 @@ int64_t lz77_encode(const uint8_t* in, int64_t n, int la, int sb,
     int64_t best_off;
     m.find(p, cap_len, &best_len, &best_off);
 
+    // One fused put per token (width <= 32: off <= 16, len <= 8, next 8)
+    // instead of three — the byte-emit loop amortizes once per token.
     const uint8_t next = in[p + best_len];
-    bw.put(static_cast<uint32_t>(best_off), off_bits);
-    bw.put(static_cast<uint32_t>(best_len), len_bits);
-    bw.put(next, 8);
+    bw.put(static_cast<uint32_t>(best_off) |
+               (static_cast<uint32_t>(best_len) << off_bits) |
+               (static_cast<uint32_t>(next) << (off_bits + len_bits)),
+           off_bits + len_bits + 8);
 
     const int64_t consume = best_len + 1;
     for (int64_t i = 0; i < consume && p + i < n; ++i) m.insert(p + i);
@@ -482,9 +485,10 @@ int64_t lz77_encode_mt(const uint8_t* in, int64_t n, int la, int sb,
           buf.reserve(static_cast<size_t>((c * width) / 8 + 2));
           BitWriter pw(buf, static_cast<int>(bit0 & 7));
           const auto emit = [&](uint32_t tk) {
-            pw.put(tk & 0xFFFF, off_bits);
-            pw.put((tk >> 16) & 0xFF, len_bits);
-            pw.put(tk >> 24, 8);
+            // fused single put per token (see lz77_encode)
+            pw.put((tk & 0xFFFF) | (((tk >> 16) & 0xFF) << off_bits) |
+                       ((tk >> 24) << (off_bits + len_bits)),
+                   static_cast<int>(width));
           };
           for (uint32_t tk : heads[static_cast<size_t>(b)]) emit(tk);
           const int64_t tf = tail_from[static_cast<size_t>(b)];
@@ -781,9 +785,10 @@ int64_t lz77_pack_tokens(const int32_t* off, const uint8_t* len,
   buf.reserve(static_cast<size_t>((T * width + 7) / 8));
   BitWriter bw(buf);
   for (int64_t i = 0; i < T; ++i) {
-    bw.put(static_cast<uint32_t>(off[i]), off_bits);
-    bw.put(len[i], len_bits);
-    bw.put(next[i], 8);
+    bw.put(static_cast<uint32_t>(off[i]) |
+               (static_cast<uint32_t>(len[i]) << off_bits) |
+               (static_cast<uint32_t>(next[i]) << (off_bits + len_bits)),
+           static_cast<int>(width));
   }
   bw.close();
   std::memcpy(out, buf.data(), buf.size());
@@ -809,9 +814,10 @@ int64_t lz77_pack_tokens_phase(const int32_t* off, const uint8_t* len,
   buf.reserve(static_cast<size_t>((phase + T * width + 7) / 8));
   BitWriter bw(buf, phase);
   for (int64_t i = 0; i < T; ++i) {
-    bw.put(static_cast<uint32_t>(off[i]), off_bits);
-    bw.put(len[i], len_bits);
-    bw.put(next[i], 8);
+    bw.put(static_cast<uint32_t>(off[i]) |
+               (static_cast<uint32_t>(len[i]) << off_bits) |
+               (static_cast<uint32_t>(next[i]) << (off_bits + len_bits)),
+           static_cast<int>(width));
   }
   bw.close();
   std::memcpy(out, buf.data(), buf.size());
