@@ -22,8 +22,11 @@ int64_t lz77_encode_bound(int64_t n, int la, int sb);
 int64_t lz77_encode_mt(const uint8_t* in, int64_t n, int la, int sb,
                        uint8_t* out, int64_t cap, int nthreads,
                        int64_t block_size);
-int64_t lz77_decode_bound(const uint8_t* in, int64_t n);
-int64_t lz77_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap);
+void* lz77_dec_new();
+void lz77_dec_free(void* sp);
+int64_t lz77_dec_params(void* sp, int32_t* sb, int32_t* la);
+int64_t lz77_dec_feed(void* sp, const uint8_t* in, int64_t n,
+                      int64_t* consumed, uint8_t* out, int64_t out_cap);
 }
 
 namespace {
@@ -94,32 +97,75 @@ int main(int argc, char** argv) {
     return 1;
   }
 
+  if (mode == 2) {
+    // Streamed bounded-memory decode: O(window) RSS for any stream size —
+    // the reference's decode capability (lz77.c:148-197 + bitio.c:103-121)
+    // through the resumable lz77_dec state machine.
+    FILE* fi = std::fopen(in_path, "rb");
+    if (!fi) {
+      std::fprintf(stderr, "Opening input file: %s\n", in_path);
+      return 1;
+    }
+    FILE* fo = std::fopen(out_path, "wb");
+    if (!fo) {
+      std::fprintf(stderr, "Opening output file: %s\n", out_path);
+      std::fclose(fi);
+      return 1;
+    }
+    void* ds = lz77_dec_new();
+    std::vector<uint8_t> inbuf(8 << 20), outbuf(4 << 20);
+    int rc = 0;
+    size_t got;
+    while ((got = std::fread(inbuf.data(), 1, inbuf.size(), fi)) > 0) {
+      int64_t done = 0;
+      while (true) {
+        int64_t consumed = 0;
+        const int64_t produced = lz77_dec_feed(
+            ds, inbuf.data() + done, static_cast<int64_t>(got) - done,
+            &consumed, outbuf.data(), static_cast<int64_t>(outbuf.size()));
+        done += consumed;
+        if (produced < 0) {
+          std::fprintf(stderr, "Error reading bits: corrupt stream (%lld)\n",
+                       static_cast<long long>(produced));
+          rc = 1;
+          break;
+        }
+        if (produced > 0) {
+          if (std::fwrite(outbuf.data(), 1, static_cast<size_t>(produced),
+                          fo) != static_cast<size_t>(produced)) {
+            std::fprintf(stderr, "Writing output file: %s\n", out_path);
+            rc = 1;
+            break;
+          }
+        } else if (done >= static_cast<int64_t>(got)) {
+          break;
+        }
+      }
+      if (rc) break;
+    }
+    int32_t hsb = 0, hla = 0;
+    if (!rc && lz77_dec_params(ds, &hsb, &hla) != 0) {
+      std::fprintf(stderr, "Error reading bits: truncated header\n");
+      rc = 1;
+    }
+    lz77_dec_free(ds);
+    std::fclose(fi);
+    std::fclose(fo);
+    return rc;
+  }
+
   std::vector<uint8_t> in;
   if (!read_file(in_path, &in)) {
     std::fprintf(stderr, "Opening input file: %s\n", in_path);
     return 1;
   }
-
   std::vector<uint8_t> out;
-  int64_t size;
-  if (mode == 1) {
-    const int64_t cap =
-        lz77_encode_bound(static_cast<int64_t>(in.size()), la, sb);
-    out.resize(static_cast<size_t>(cap));
-    size = lz77_encode_mt(in.data(), static_cast<int64_t>(in.size()), la, sb,
-                          out.data(), cap, threads, 0);
-  } else {
-    const int64_t cap =
-        lz77_decode_bound(in.data(), static_cast<int64_t>(in.size()));
-    if (cap < 0) {
-      std::fprintf(stderr, "Error reading bits: corrupt stream (%lld)\n",
-                   static_cast<long long>(cap));
-      return 1;
-    }
-    out.resize(static_cast<size_t>(cap));
-    size = lz77_decode(in.data(), static_cast<int64_t>(in.size()), out.data(),
-                       cap);
-  }
+  const int64_t cap =
+      lz77_encode_bound(static_cast<int64_t>(in.size()), la, sb);
+  out.resize(static_cast<size_t>(cap));
+  const int64_t size = lz77_encode_mt(
+      in.data(), static_cast<int64_t>(in.size()), la, sb, out.data(), cap,
+      threads, 0);
   if (size < 0) {
     std::fprintf(stderr, "Codec error %lld\n", static_cast<long long>(size));
     return 1;
