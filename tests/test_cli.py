@@ -1,9 +1,11 @@
 """CLI surface tests: reference flag compatibility + divergence policy."""
 
+import os
+
 import numpy as np
 import pytest
 
-from lz77_tpu import cli
+from lz77_tpu import cli, spec
 
 from conftest import CORPUS_SMALL
 
@@ -201,3 +203,34 @@ def test_cli_sharded_bad_mesh(tmp_path, capsys):
     cap = capsys.readouterr()
     assert rc == 1
     assert "--mesh" in cap.err
+
+
+def test_cli_host_devices_subprocess(tmp_path, rng):
+    """--host-devices N makes the multi-chip sharded pipeline drivable where
+    a platform plugin pins the backend (VERDICT r3 weak #6): run the real
+    CLI in a subprocess WITHOUT this suite's cpu/8-device env overrides."""
+    import subprocess
+    import sys
+
+    data = CORPUS_SMALL["text"](rng)[:20000]
+    inp, out = tmp_path / "in", tmp_path / "out.lz"
+    inp.write_bytes(data)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    res = subprocess.run(
+        [sys.executable, "-m", "lz77_tpu.cli", "-c", "-i", str(inp),
+         "-o", str(out), "--pipeline", "sharded", "--mesh", "4x2",
+         "--host-devices", "8", "--block-size", "2048",
+         "--batch-blocks", "8", "--matcher", "bitplane"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    from lz77_tpu import native
+    from lz77_tpu.models import codec
+
+    assert out.read_bytes() == codec.encode_bytes(
+        data, spec.Params(), block_size=2048, batch_blocks=8
+    )
+    assert native.decode(out.read_bytes()) == data

@@ -62,3 +62,14 @@ def test_fuzz_differential(seed, oracle):
         c_stream = oracle.encode(data, la=p.la, sb=p.sb)
         assert native.decode(c_stream) == data
         assert len(s_serial) <= len(c_stream)
+        # streamed bounded-memory decoder, random chunk geometry: identical
+        # bytes for both our stream and the C encoder's
+        rc = int(rng.integers(1, 5000))
+        oc = int(rng.integers(256, 3000))
+        for stream in (s_serial, c_stream):
+            got = bytearray()
+            with native.DecodeStream(out_chunk=oc) as ds:
+                for i in range(0, len(stream), rc):
+                    for piece in ds.feed(stream[i : i + rc]):
+                        got += piece.tobytes()
+            assert bytes(got) == data
