@@ -134,3 +134,16 @@ def test_walk_parser_matches_scan(rng):
         out_s.append(np.asarray(ps)[: ts * 3])
         assert int(entry_w) == int(entry_s)
     assert all(np.array_equal(a, b) for a, b in zip(out_w, out_s))
+
+
+def test_fused_deep_la_scan_parser(rng):
+    """la > 128 (beyond the walk parser's range) routes to the scan parser
+    and stays byte-identical — including the widest 32-bit token layout."""
+    data = make_text(rng, 100_000) + b"\x00" * 10_000
+    for p in (spec.Params(la=255, sb=255), spec.Params(la=129, sb=65535)):
+        ref = codec.encode_bytes(data, p, block_size=16384, batch_blocks=4)
+        s = fused.encode_bytes_fused(
+            data, p, block_size=16384, batch_blocks=4, matcher="chunked"
+        )
+        assert s == ref
+        assert codec.decode_bytes(s) == data
