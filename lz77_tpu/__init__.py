@@ -60,4 +60,39 @@ def decompress(data: bytes, *, backend: str = "auto") -> bytes:
     return codec.decode_bytes(data, backend=backend)
 
 
-__all__ = ["spec", "Params", "compress", "decompress", "__version__"]
+def compress_file(
+    in_path: str,
+    out_path: str,
+    la: int = spec.DEFAULT_LA_SIZE,
+    sb: int = spec.DEFAULT_SB_SIZE,
+    *,
+    pipeline: str = "host",
+    **kwargs,
+) -> None:
+    """File-to-file encode in bounded memory (memmap input, streamed output).
+
+    ``pipeline``: "host" (device match + host parse), "fused"
+    (device-resident match+parse+pack), or "sharded" (multi-chip mesh);
+    kwargs pass through to ``models.codec.encode_file`` (``manifest_path``/
+    ``resume`` for checkpointing, ``block_size``, ``matcher``, ...).
+    """
+    from .models import codec
+
+    codec.encode_file(
+        in_path, out_path, Params(la=la, sb=sb), pipeline=pipeline, **kwargs
+    )
+
+
+def decompress_file(in_path: str, out_path: str, **kwargs) -> int:
+    """File-to-file decode in O(window) memory (any stream size); returns
+    the decoded byte count.  The reference's bounded-memory decode
+    capability (lz77.c:148-197) via the native streamed decoder."""
+    from .models import codec
+
+    return codec.decode_file(in_path, out_path, **kwargs)
+
+
+__all__ = [
+    "spec", "Params", "compress", "decompress", "compress_file",
+    "decompress_file", "__version__",
+]
