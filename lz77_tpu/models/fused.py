@@ -110,7 +110,8 @@ def encode_batch_walk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("la", "sb", "matcher", "sub_block")
+    jax.jit,
+    static_argnames=("la", "sb", "matcher", "sub_block", "with_map", "head_w"),
 )
 def encode_batch_device(
     blocks: jnp.ndarray,      # (G, B) uint8
@@ -125,6 +126,8 @@ def encode_batch_device(
     sb: int,
     matcher: str = "pallas_bitplane",
     sub_block: int = DEFAULT_SUB_BLOCK,
+    with_map: bool = False,
+    head_w: int = 8192,
 ):
     """One fused device step over a batch of consecutive blocks.
 
@@ -134,6 +137,14 @@ def encode_batch_device(
       total_tokens: scalar int32;
       exit_entry: scalar int32 — parse entry into the next batch.
     Requires a byte-aligned token width (width % 8 == 0).
+
+    ``with_map=True`` additionally returns (bmap, l_head, o_head): the
+    batch's full (la,) entry->exit-overhang map (free — the internal
+    sub-block map composition already produces it) and the first ``head_w``
+    positions' match tables.  This is the building block for speculative
+    cross-host encoding (parallel/distributed.py): a host parses its range
+    from entry 0 while the exact exit for ANY entry rides in the composed
+    maps, and a nonzero true entry needs only a head-window resync splice.
     """
     params = spec.Params(la=la, sb=sb)
     if params.width % 8 != 0:
@@ -244,6 +255,13 @@ def encode_batch_device(
         blk = (base[:, 0] // B).astype(jnp.int32)  # block of each sub-block
         counts_b = jnp.zeros((G,), jnp.int32).at[blk].add(counts_m)
 
+    if with_map:
+        w = min(head_w, N)
+        return (
+            payload, counts_b, total_tokens, exit_entry,
+            P[-1],                      # (la,) batch entry->exit map
+            L_flat[:w], O_flat[:w],     # head match tables for resync
+        )
     return payload, counts_b, total_tokens, exit_entry
 
 

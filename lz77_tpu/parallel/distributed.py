@@ -192,6 +192,208 @@ def _encode_range(
     return counts, payload, nbits
 
 
+RESYNC_WINDOW = 8192  # head match-table span for the cross-host splice
+
+
+def _range_encoder(params: spec.Params, pipeline: str):
+    """Select the per-host range encoder.
+
+    'auto' = the fused device pipeline for byte-aligned token widths
+    (device-packed payload, ~6x less device-to-host traffic), else the
+    host-parse pipeline; 'host'/'fused' force a choice.
+    """
+    if pipeline == "auto":
+        pipeline = "fused" if bitio.byte_aligned(params) else "host"
+    if pipeline == "fused":
+        if not bitio.byte_aligned(params):
+            raise ValueError(
+                "multihost pipeline='fused' requires a byte-aligned token "
+                f"width (width={params.width}); use pipeline='host'"
+            )
+        return _encode_range_fused
+    if pipeline != "host":
+        raise ValueError(f"unknown multihost pipeline {pipeline!r}")
+    return _encode_range
+
+
+def _encode_range_fused(
+    x: np.ndarray,
+    n: int,
+    params: spec.Params,
+    *,
+    block_size: int,
+    batch_blocks: int,
+    matcher: str,
+    retries: int = 2,
+    fault_injector=None,
+    work_seconds: list | None = None,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Fused-device phases for this process's block range (byte-aligned).
+
+    Same contract as :func:`_encode_range`, through the device-resident
+    match+parse+pack step instead of full (L, O) fetch + host parse:
+
+    * the host's range parses SPECULATIVELY from entry 0 on device (entry
+      carried between batches as a device scalar), fetching ~0.5 B packed
+      payload per input byte instead of ~3 B of match tables;
+    * the EXACT (la,)-entry->exit map of the whole range falls out of the
+      scan parser's internal sub-block map composition for free, so one
+      allgather of the (la,) maps gives every host its true entry with no
+      merge assumption (the same composition :func:`_encode_range` computes
+      with la serial re-parses);
+    * a nonzero true entry is fixed by a head-window resync splice (greedy
+      chains from different entries merge at the first shared token start —
+      the native MT encoder's property, lz77host.cpp:269-528); the rare
+      never-resync case re-runs the range with the true entry, exactly.
+    """
+    import time
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from .. import native as native_lib
+    from ..models import fused as fused_lib
+    from ..utils import faults as faults_lib
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    la = params.la
+    nb_bytes = params.width // 8
+    ob, lb = params.off_bits, params.len_bits
+    B = block_size
+    nb = -(-n // B) if n else 0
+    lo, hi = block_range(nb, nproc, pid)
+    G = batch_blocks
+    H, R = params.d_limit, params.len_limit
+    span_end = min(hi * B, n)
+    my_span = max(0, span_end - lo * B)
+
+    def run_range(entry0: int):
+        """Speculative (or exact, once entry is known) fused range encode."""
+        counts = np.zeros(nb, np.int64)
+        parts: list[bytes] = []
+        cum_map = np.arange(la, dtype=np.int64)
+        head = {}
+        entry_dev = jnp.int32(entry0)
+        for g0 in range(lo, hi, G):
+            gn = min(G, hi - g0)
+
+            def run_batch(g0=g0, entry_dev=entry_dev):
+                if fault_injector is not None:
+                    fault_injector.check(g0)
+                # Stage real blocks PAST the range end for a ragged final
+                # batch: a token starting before span_end may overhang into
+                # the next host's bytes, and its next-char gather reads the
+                # staged block space — zero padding there would corrupt the
+                # boundary token.  valid_total still caps token starts at
+                # the range end, so the extra blocks emit nothing.
+                gn_stage = min(G, nb - g0)
+                gb, gh, gr, ga, gv = codec_model._batch_inputs(
+                    x, n, g0, gn_stage, G, B, H, R
+                )
+                vt = min(G * B, span_end - g0 * B)
+                return fused_lib.encode_batch_device(
+                    jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
+                    jnp.asarray(ga), jnp.asarray(gv),
+                    jnp.int32(vt), entry_dev,
+                    la=params.la, sb=params.sb, matcher=matcher,
+                    with_map=True, head_w=RESYNC_WINDOW,
+                )
+
+            out = faults_lib.with_retries(run_batch, retries=retries)
+            payload_d, counts_b, total_d, exit_d, bmap_d, lh_d, oh_d = out
+            entry_dev = exit_d
+            tot = int(np.asarray(total_d))
+            nbytes = tot * nb_bytes
+            if nbytes:
+                bk = min(fused_lib._bucket(nbytes), payload_d.shape[0])
+                parts.append(np.asarray(payload_d[:bk])[:nbytes].tobytes())
+            counts[g0 : g0 + gn] = np.asarray(counts_b)[:gn]
+            bmap = np.asarray(bmap_d).astype(np.int64)
+            cum_map = bmap[cum_map]
+            if g0 == lo:
+                head["L"] = np.asarray(lh_d)
+                head["O"] = np.asarray(oh_d)
+        payload = (
+            np.frombuffer(b"".join(parts), np.uint8)
+            if parts else np.zeros(0, np.uint8)
+        )
+        return counts, payload, cum_map, head
+
+    t_work0 = time.perf_counter()
+    c_work0 = time.process_time()
+    counts, payload, cum_map, head = run_range(0)
+    t_work = time.perf_counter() - t_work0
+    c_work = time.process_time() - c_work0
+
+    # One collective: exact (la,) range maps -> my true entry.
+    all_maps = np.asarray(
+        multihost_utils.process_allgather(cum_map.astype(np.int32))
+    ).reshape(nproc, la)
+    entry = 0
+    for h in range(pid):
+        entry = int(all_maps[h][entry])
+
+    t_work0 = time.perf_counter()
+    c_work0 = time.process_time()
+    if entry > 0 and my_span > 0:
+        # w_eff <= B keeps the splice inside block ``lo`` (the counts
+        # adjustment below touches only that block's token count).
+        w_eff = min(RESYNC_WINDOW, my_span, B)
+        spliced = False
+        if native_lib.available() and my_span > w_eff:
+            # True-entry parse over the head window; speculative starts
+            # from the payload's leading tokens (each token covers >= 1
+            # byte, so w_eff tokens always span the window).
+            Lh = head["L"][:w_eff]
+            Oh = head["O"][:w_eff]
+            starts, _ = native_lib.parse_block(
+                Lh.astype(np.uint8), w_eff, entry
+            )
+            starts = np.asarray(starts)
+            k = min(int(counts[lo:hi].sum()), w_eff)
+            off0, len0, _ = native_lib.unpack_tokens(
+                payload[: k * nb_bytes], params
+            )
+            s0_all = np.concatenate(
+                [[0], np.cumsum(len0.astype(np.int64) + 1)[:-1]]
+            )
+            s0 = s0_all[s0_all < w_eff]
+            common = np.intersect1d(starts, s0)
+            if common.shape[0]:
+                m = int(common[0])
+                pre = starts[starts < m]
+                r = int(np.searchsorted(s0, m))
+                xs = x[lo * B : min(n, lo * B + w_eff + la)]
+                if xs.shape[0] < w_eff + la:
+                    xs = np.concatenate(
+                        [xs, np.zeros(w_eff + la - xs.shape[0], np.uint8)]
+                    )
+                ln_h = Lh[pre].astype(np.int64)
+                off_h = Oh[pre].astype(np.int64)
+                nxt_h = xs[pre + ln_h].astype(np.int64)
+                head_bytes = bitio.tokens_to_bytes(
+                    off_h, ln_h, nxt_h, params
+                )
+                payload = np.concatenate(
+                    [head_bytes, payload[r * nb_bytes :]]
+                )
+                # the splice lives inside the first block (w_eff <= B)
+                counts[lo] += pre.shape[0] - r
+                spliced = True
+        if not spliced:
+            # tiny range or adversarial never-resync: exact re-run from the
+            # true entry (the maps already gave downstream hosts their
+            # exact entries, so this stays a local fixup).
+            counts, payload, _, _ = run_range(entry)
+    if work_seconds is not None:
+        work_seconds.append({
+            "wall": t_work + (time.perf_counter() - t_work0),
+            "cpu": c_work + (time.process_time() - c_work0),
+        })
+    return counts, payload, int(payload.shape[0]) * 8
+
+
 def encode_bytes_multihost(
     data: bytes,
     params: spec.Params | None = None,
@@ -203,6 +405,7 @@ def encode_bytes_multihost(
     fault_injector=None,
     work_seconds: list | None = None,
     force: bool = False,
+    pipeline: str = "auto",
 ) -> bytes | None:
     """Encode with blocks partitioned across JAX processes (in-memory API).
 
@@ -233,7 +436,7 @@ def encode_bytes_multihost(
     pid = jax.process_index()
     x = np.frombuffer(data, dtype=np.uint8)
     n = x.shape[0]
-    _, payload, nbits = _encode_range(
+    _, payload, nbits = _range_encoder(params, pipeline)(
         x, n, params, block_size=block_size, batch_blocks=batch_blocks,
         matcher=matcher, retries=retries, fault_injector=fault_injector,
         work_seconds=work_seconds,
@@ -280,6 +483,7 @@ def encode_file_multihost(
     batch_blocks: int = codec_model.DEFAULT_BATCH_BLOCKS,
     matcher: str = "chunked",
     retries: int = 2,
+    pipeline: str = "auto",
 ) -> None:
     """Multi-host file encode over a shared filesystem: ordered parallel
     writes, zero inter-host payload traffic.
@@ -307,7 +511,7 @@ def encode_file_multihost(
         if n
         else np.zeros(0, np.uint8)
     )
-    counts_mine, payload, nbits = _encode_range(
+    counts_mine, payload, nbits = _range_encoder(params, pipeline)(
         x, n, params, block_size=block_size, batch_blocks=batch_blocks,
         matcher=matcher, retries=retries,
     )

@@ -62,6 +62,7 @@ if cfg["mode"] == "bytes":
         data, params, block_size=cfg["block_size"],
         batch_blocks=cfg["batch_blocks"], fault_injector=inj,
         work_seconds=work, force=cfg.get("force", False),
+        pipeline=cfg.get("pipeline", "auto"),
     )
     if pid == 0:
         open(cfg["out_path"], "wb").write(stream)
@@ -69,6 +70,7 @@ else:
     distributed.encode_file_multihost(
         cfg["data_path"], cfg["out_path"], params,
         block_size=cfg["block_size"], batch_blocks=cfg["batch_blocks"],
+        pipeline=cfg.get("pipeline", "auto"),
     )
 wall = time.perf_counter() - t0
 w = work[0] if work else {"wall": wall, "cpu": wall}
@@ -89,7 +91,7 @@ def _free_port() -> int:
 def run_cluster(tmp_path, data: bytes, nproc: int, *, mode="bytes",
                 la=15, sb=255, block_size=1024, batch_blocks=2,
                 fault_batches=None, pin=False, warmup=False, force=False,
-                timeout=300):
+                pipeline="auto", timeout=300):
     cfg = {
         "nproc": nproc,
         "coordinator": f"localhost:{_free_port()}",
@@ -102,6 +104,7 @@ def run_cluster(tmp_path, data: bytes, nproc: int, *, mode="bytes",
         "pin": pin,
         "warmup": warmup,
         "force": force,
+        "pipeline": pipeline,
     }
     with open(cfg["data_path"], "wb") as f:
         f.write(data)
@@ -297,3 +300,47 @@ def test_multihost_scaling_efficiency(tmp_path):
     # the machine's unthrottled behavior.
     ok = bars_pass(best_of) or any(bars_pass(e) for e in per_round)
     assert ok, artifact
+
+
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multihost_fused_pipeline_identical_stream(nproc, tmp_path,
+                                                   payload_data):
+    """Byte-aligned widths route each host through the fused device
+    pipeline (round 4): device-packed payload + exact (la,) range maps in
+    one pass, head-window resync splice for nonzero entries.  The stream
+    must equal the single-host encoder's byte for byte."""
+    from lz77_tpu import spec
+    from lz77_tpu.models import codec
+
+    stream, _ = run_cluster(
+        tmp_path, payload_data, nproc, la=15, sb=4095, block_size=8192,
+        batch_blocks=2,
+    )
+    single = codec.encode_bytes(
+        payload_data, spec.Params(), block_size=8192, batch_blocks=2,
+    )
+    assert stream == single
+    assert codec.decode_bytes(stream) == payload_data
+
+
+def test_multihost_fused_entry_carry_and_runs(tmp_path):
+    """Runs-heavy data maximizes cross-host token overhang (entry != 0 on
+    every host boundary) and triggers the never-resync exact re-run path on
+    constant-jump chains; file mode exercises the pwrite assembly too."""
+    rng = np.random.default_rng(5)
+    from conftest import make_text
+
+    data = (b"\x00" * 9000 + make_text(rng, 5000)) * 4
+    from lz77_tpu import spec
+    from lz77_tpu.models import codec
+
+    for mode in ("bytes", "file"):
+        stream, _ = run_cluster(
+            tmp_path, data, 4, mode=mode, la=15, sb=4095,
+            block_size=2048, batch_blocks=2,
+        )
+        single = codec.encode_bytes(
+            data, spec.Params(), block_size=2048, batch_blocks=2,
+        )
+        assert stream == single
+        assert codec.decode_bytes(stream) == data
