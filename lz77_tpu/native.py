@@ -292,6 +292,10 @@ class DecodeStream:
         Every whole token in (carry + data) is decoded; trailing sub-token
         bits stay in the carry for the next feed (the EOF padding rule,
         lz77.c:266-280 — they are never a token since width > 7).
+
+        Each yielded array is a VIEW into the stream's reusable output
+        buffer, valid only until the next iteration — consume it (write,
+        ``.tobytes()``, copy) before advancing the generator.
         """
         src = np.frombuffer(data, np.uint8) if isinstance(
             data, (bytes, bytearray, memoryview)
