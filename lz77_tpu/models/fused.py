@@ -394,6 +394,10 @@ def iter_batches_fused(
 
     from ..utils import faults as faults_lib
 
+    def count_retry():
+        if stats is not None:
+            stats.retries += 1
+
     entry_dev = jnp.int32(entry)
     e_in = int(entry)
     pending = None
@@ -403,18 +407,20 @@ def iter_batches_fused(
             # independent up to the entry scalar, which submit re-derives
             # from the still-live previous device value.
             nxt = faults_lib.with_retries(
-                submit, bi, entry_dev, retries=retries
+                submit, bi, entry_dev, retries=retries, on_retry=count_retry
             )
             entry_dev = nxt[3]
         if pending is not None:
             out = faults_lib.with_retries(
-                fetch, pending, e_in, retries=retries
+                fetch, pending, e_in, retries=retries, on_retry=count_retry
             )
             e_in = out[2]
             yield out
         pending = nxt
     if pending is not None:
-        yield faults_lib.with_retries(fetch, pending, e_in, retries=retries)
+        yield faults_lib.with_retries(
+            fetch, pending, e_in, retries=retries, on_retry=count_retry
+        )
 
 
 def encode_bytes_fused(

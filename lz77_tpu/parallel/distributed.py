@@ -352,7 +352,7 @@ def _encode_range_fused(
             )
             starts = np.asarray(starts)
             k = min(int(counts[lo:hi].sum()), w_eff)
-            off0, len0, _ = native_lib.unpack_tokens(
+            _, len0, _ = native_lib.unpack_tokens(
                 payload[: k * nb_bytes], params
             )
             s0_all = np.concatenate(

@@ -667,14 +667,24 @@ def iter_batches_sharded(
     # whole: the entry carry commits only at its end and payload parts are
     # local (resync counters may double-count on a retried batch — they
     # are observability, not correctness).
+    def count_retry():
+        if stats is not None:
+            stats.retries += 1
+
     pending = None
     for bi in range(start_batch, num_batches):
-        nxt = faults_lib.with_retries(submit, bi, retries=retries)
+        nxt = faults_lib.with_retries(
+            submit, bi, retries=retries, on_retry=count_retry
+        )
         if pending is not None:
-            yield faults_lib.with_retries(process, pending, retries=retries)
+            yield faults_lib.with_retries(
+                process, pending, retries=retries, on_retry=count_retry
+            )
         pending = nxt
     if pending is not None:
-        yield faults_lib.with_retries(process, pending, retries=retries)
+        yield faults_lib.with_retries(
+            process, pending, retries=retries, on_retry=count_retry
+        )
 
 
 def encode_bytes_sharded(

@@ -33,8 +33,13 @@ class FaultInjector:
             )
 
 
-def with_retries(fn, *args, retries: int = 2, backoff_s: float = 0.0):
-    """Run ``fn(*args)``, retrying up to ``retries`` times on exception."""
+def with_retries(fn, *args, retries: int = 2, backoff_s: float = 0.0,
+                 on_retry=None):
+    """Run ``fn(*args)``, retrying up to ``retries`` times on exception.
+
+    ``on_retry`` (if given) is called once per retry — the observability
+    hook EncodeStats.retries counts through.
+    """
     attempt = 0
     while True:
         try:
@@ -44,5 +49,7 @@ def with_retries(fn, *args, retries: int = 2, backoff_s: float = 0.0):
             if attempt > retries:
                 raise
             log.warning("batch failed (%s); retry %d/%d", e, attempt, retries)
+            if on_retry is not None:
+                on_retry()
             if backoff_s:
                 time.sleep(backoff_s * attempt)
