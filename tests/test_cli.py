@@ -234,3 +234,18 @@ def test_cli_host_devices_subprocess(tmp_path, rng):
         data, spec.Params(), block_size=2048, batch_blocks=8
     )
     assert native.decode(out.read_bytes()) == data
+
+
+def test_cli_edge_inputs_streamed_route(tmp_path):
+    """Empty and 1-byte inputs through the streamed file encode/decode
+    route: empty -> 4-byte header-only stream (SURVEY.md §2.3.1), both
+    roundtrip bit-exact."""
+    for data in (b"", b"Z"):
+        ip = tmp_path / f"in{len(data)}"
+        op = tmp_path / f"out{len(data)}.lz"
+        dp = tmp_path / f"dec{len(data)}"
+        ip.write_bytes(data)
+        assert run_cli(["-c", "-i", str(ip), "-o", str(op)]) == 0
+        assert run_cli(["-d", "-i", str(op), "-o", str(dp)]) == 0
+        assert dp.read_bytes() == data
+    assert (tmp_path / "out0.lz").stat().st_size == 4
