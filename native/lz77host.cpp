@@ -576,6 +576,12 @@ int64_t lz77_decode(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap) {
     off = tok & off_mask;
     len = (tok >> off_bits) & len_mask;
     next = (tok >> (off_bits + len_bits)) & 0xFFu;
+    // Spec length cap: conforming encoders never emit len > la-1
+    // (lz77.c:98 consumes len+1 <= la bytes; tree.c:136 stops at size-1).
+    // len_mask can exceed la-1 (e.g. la=129 -> 8-bit field, mask 255), so
+    // a crafted token must be rejected, not replayed (restrict-don't-
+    // replicate policy, SURVEY.md 2.3.8).
+    if (len + 1 > la) return -4;
     if (w + static_cast<int64_t>(len) + 1 > cap) return -2;
     if (len > 0) {
       if (off == 0 || static_cast<int64_t>(off) > w) return -4;  // corrupt
@@ -711,6 +717,12 @@ int64_t lz77_dec_feed(void* sp, const uint8_t* in, int64_t n,
       const uint32_t len = (tok >> s.off_bits) & len_mask;
       const uint8_t next =
           static_cast<uint8_t>((tok >> (s.off_bits + s.len_bits)) & 0xFFu);
+      // Memory-safety gate: the loop guard above reserves only la+1 output
+      // bytes per token, but len_mask can exceed la-1 (la=129 -> mask 255);
+      // a crafted len would write past buf and past the caller's out
+      // capacity.  Conforming streams never emit len > la-1 (spec length
+      // cap, SURVEY.md 2.3.4), so reject as corrupt.
+      if (len + 1 > static_cast<uint32_t>(s.la)) return -4;
       if (len > 0) {
         // Bounded-history rule: only the last min(sb, tot) bytes exist, so
         // a source beyond either is corrupt (conforming encoders emit

@@ -12,7 +12,7 @@ import os
 import numpy as np
 import pytest
 
-from lz77_tpu import native, spec
+from lz77_tpu import bitio, native, spec
 from lz77_tpu.models import codec
 
 pytestmark = pytest.mark.skipif(
@@ -137,3 +137,39 @@ def test_params_and_total_visibility():
         assert p is not None and (p.la, p.sb) == (16, 255)
         assert ds.total_out == len(data)
     assert got == data
+
+
+@pytest.mark.parametrize("la", [129, 200, 100, 17, 3])
+def test_crafted_overlong_len_rejected(la):
+    # A length field wider than la-1 allows (len_bits = bitof(la) can encode
+    # values up to 2^bits - 1 > la - 1) must be rejected as corrupt, not
+    # replayed: the streamed decoder reserves only la+1 output bytes per
+    # token, so an overlong len would write past its window buffer (and the
+    # caller's out slice).  Spec length cap: SURVEY.md 2.3.4.
+    p = spec.Params(la=la, sb=4095)
+    len_mask = (1 << p.len_bits) - 1
+    assert len_mask > la - 1  # the parametrization targets this gap
+    # one literal first, so off=1 passes the history bound and the crafted
+    # len check is what fires
+    off = np.array([0, 1], np.int64)
+    length = np.array([0, len_mask], np.int64)
+    nxt = np.array([65, 66], np.int64)
+    stream = bitio.build_stream(off, length, nxt, p)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        _stream_decode(stream, len(stream), 4096)
+    # whole-stream native decoder applies the same restrict policy
+    with pytest.raises((RuntimeError, ValueError)):
+        native.decode(stream)
+
+
+def test_overlong_len_rejected_at_every_feed_granularity():
+    # byte-at-a-time feeds must hit the same validation (carry path)
+    p = spec.Params(la=129, sb=255)
+    stream = bitio.build_stream(
+        np.array([0, 1], np.int64),
+        np.array([0, 255], np.int64),
+        np.array([1, 2], np.int64),
+        p,
+    )
+    with pytest.raises(RuntimeError, match="corrupt"):
+        _stream_decode(stream, 1, 4096)
