@@ -496,6 +496,17 @@ def encode_file(
     done -= done % batch_blocks
     man.blocks = man.blocks[:done]
     scratch_bytes = sum((b.tokens * man.width + 7) // 8 for b in man.blocks)
+    # A manifest without its scratch payload (deleted/truncated .partial)
+    # must restart: open('ab') would recreate it and f.truncate would
+    # zero-extend, silently replacing completed blocks with zeros.
+    if scratch_bytes and (
+        not os.path.exists(scratch_path)
+        or os.path.getsize(scratch_path) < scratch_bytes
+    ):
+        man.blocks = []
+        done = 0
+        scratch_bytes = 0
+        open(scratch_path, "wb").close()
     with open(scratch_path, "ab") as f:
         f.truncate(scratch_bytes)
 
@@ -607,6 +618,14 @@ def _encode_file_batched(
             f"pipeline={pipeline!r} requires a byte-aligned token width "
             f"(width={params.width}); use pipeline='host'"
         )
+    if pipeline == "sharded":
+        from ..ops import parse_walk as _pw
+
+        if params.la > _pw.OVER:
+            raise ValueError(
+                f"pipeline='sharded' requires la <= {_pw.OVER} "
+                f"(la={params.la}); use pipeline='host' or 'fused'"
+            )
     n = os.path.getsize(in_path)
     x = (
         np.memmap(in_path, dtype=np.uint8, mode="r")
@@ -697,6 +716,17 @@ def _encode_file_batched(
     done = man.completed()
     man.blocks = man.blocks[:done]
     scratch_bytes = sum((b.tokens * man.width) // 8 for b in man.blocks)
+    # A manifest without its scratch payload (deleted/truncated .partial)
+    # must restart: open('ab') would recreate it and f.truncate would
+    # zero-extend, silently replacing completed batches with zeros.
+    if scratch_bytes and (
+        not os.path.exists(scratch_path)
+        or os.path.getsize(scratch_path) < scratch_bytes
+    ):
+        man.blocks = []
+        done = 0
+        scratch_bytes = 0
+        open(scratch_path, "wb").close()
     with open(scratch_path, "ab") as f:
         f.truncate(scratch_bytes)
 

@@ -145,3 +145,63 @@ def test_fused_iterator_retries_transient_device_failure(
     )
     assert s == ref_stream
     assert calls["n"] > 2  # the failed call was retried
+
+
+def test_deleted_scratch_restarts_instead_of_zero_fill(
+    tmp_path, payload, ref_stream
+):
+    """A manifest whose .partial payload vanished must restart from batch 0,
+    not zero-extend a recreated file into a silently corrupt stream."""
+    ip = tmp_path / "in"
+    ip.write_bytes(payload)
+    op, mp = tmp_path / "out", tmp_path / "m.json"
+    inj = faults.FaultInjector({3: 1})
+    with pytest.raises(RuntimeError):
+        codec.encode_file(
+            str(ip), str(op), spec.Params(), pipeline="fused",
+            block_size=16384, batch_blocks=4, manifest_path=str(mp),
+            fault_injector=inj,
+        )
+    assert mp.exists()
+    os.unlink(tmp_path / "out.partial")  # the failure being injected
+    codec.encode_file(
+        str(ip), str(op), spec.Params(), pipeline="fused",
+        block_size=16384, batch_blocks=4, manifest_path=str(mp),
+        resume=True,
+    )
+    assert op.read_bytes() == ref_stream
+
+
+def test_host_path_deleted_scratch_restarts(tmp_path, payload):
+    """Same guarantee on the block-granular host manifest path."""
+    data = payload[:80000]
+    ip = tmp_path / "in"
+    ip.write_bytes(data)
+    ref = codec.encode_bytes(data, spec.Params(), block_size=16384)
+    op, mp = tmp_path / "out", tmp_path / "m.json"
+    inj = faults.FaultInjector({2: 5})  # batch 2 of 3, past retries=2
+    with pytest.raises(RuntimeError):
+        codec.encode_file(
+            str(ip), str(op), spec.Params(), block_size=16384,
+            batch_blocks=2, manifest_path=str(mp), fault_injector=inj,
+        )
+    assert mp.exists()
+    os.unlink(tmp_path / "out.partial")
+    codec.encode_file(
+        str(ip), str(op), spec.Params(), block_size=16384,
+        batch_blocks=2, manifest_path=str(mp), resume=True,
+    )
+    assert op.read_bytes() == ref
+
+
+def test_sharded_file_deep_la_rejected_with_remedy(tmp_path, payload):
+    """pipeline='sharded' + la>128 names fused/host instead of the walk
+    parser's internal assertion (API consistency with encode_bytes_sharded's
+    transparent fallback)."""
+    ip = tmp_path / "in"
+    ip.write_bytes(payload[:1000])
+    with pytest.raises(ValueError, match="fused"):
+        codec.encode_file(
+            str(ip), str(tmp_path / "o"), spec.Params(la=200, sb=65535),
+            pipeline="sharded",
+        )
