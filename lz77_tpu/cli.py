@@ -101,8 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(full -s range; the backend actually used is "
                         "recorded in --report)")
     p.add_argument("--threads", type=int, default=None,
-                   help="Native-backend encoder threads (default: all cores; "
-                        "the parallel encoder emits byte-identical streams)")
+                   help="Native-backend encoder threads. Default/1: streamed "
+                        "O(window)-memory encode; >1: in-memory block-"
+                        "parallel encoder (byte-identical streams either way)")
     p.add_argument("--force-sb", action="store_true",
                    help="Accept degenerate -s values the reference corrupts "
                         "(0/1/powers of two); encoded safely, not corruptly")
@@ -265,6 +266,40 @@ def main(argv: list[str] | None = None) -> int:
                 "seconds": round(dt, 6), "input_bytes": in_bytes,
                 "output_bytes": n_out,
                 "mb_per_s": round(n_out / dt / 1e6, 3) if dt > 0 else None,
+                "peak_rss_mb": _peak_rss_mb(),
+            }), file=sys.stderr)
+        return 0
+
+    # native-backend encode streams file-to-file in O(window) memory (the
+    # reference's FILE-loop profile, lz77.c:51-140) unless the caller asks
+    # for the in-memory block-parallel path with --threads > 1.  Streams
+    # are byte-identical either way.
+    if (
+        args.mode == "encode"
+        and args.backend == "native"
+        and args.threads in (None, 1)
+    ):
+        from . import native as native_lib
+
+        try:
+            n_in, n_out = native_lib.encode_file(
+                args.input[0], args.output[0], params
+            )
+        except OSError as e:
+            print(f"Opening output file: {e.strerror}", file=sys.stderr)
+            return 1
+        except (ValueError, RuntimeError) as e:
+            print(f"Encode error: {e}", file=sys.stderr)
+            return 1
+        if args.report:
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "mode": "encode", "backend": "native-streamed",
+                "seconds": round(dt, 6), "input_bytes": n_in,
+                "output_bytes": n_out,
+                "ratio": round(n_out / n_in, 6) if n_in else None,
+                "mb_per_s": round(n_in / dt / 1e6, 3) if dt > 0 else None,
+                "peak_rss_mb": _peak_rss_mb(),
             }), file=sys.stderr)
         return 0
 
@@ -322,6 +357,7 @@ def main(argv: list[str] | None = None) -> int:
                     k: round(v, 6)
                     for k, v in stats.phases.as_dict().items()
                 },
+                "peak_rss_mb": _peak_rss_mb(),
             }
             if stats.h2d_bytes:
                 rep["h2d_bytes"] = stats.h2d_bytes
@@ -376,9 +412,21 @@ def main(argv: list[str] | None = None) -> int:
             input_bytes=len(data),
             output_bytes=len(result),
             mb_per_s=round(len(data) / dt / 1e6, 3) if dt > 0 else None,
+            peak_rss_mb=_peak_rss_mb(),
         )
         print(json.dumps(report), file=sys.stderr)
     return 0
+
+
+def _peak_rss_mb() -> float:
+    """This process's own peak RSS (MB) — the number that pins bounded-
+    memory claims in --report (a parent's getrusage(RUSAGE_CHILDREN) max
+    is polluted by fork-time COW inheritance and unrelated children)."""
+    import resource
+
+    return round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+    )
 
 
 def _block_kwargs(args, params: spec.Params) -> dict:

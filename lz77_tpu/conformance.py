@@ -192,17 +192,26 @@ def run_big_streamed(gigabytes: float, workdir: str,
     enc_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 
     # Self-verification: our streamed decoder, file-to-file in a CLI
-    # subprocess (its child ru_maxrss pins the O(window) decode claim).
+    # subprocess.  The decode's bounded-memory claim is pinned by the
+    # subprocess's OWN --report peak_rss_mb (RUSAGE_SELF at exit):
+    # getrusage(RUSAGE_CHILDREN) on the parent is an artifact — the forked
+    # child inherits the encode's resident set via COW before exec, and the
+    # max also spans unrelated prior children (oracle builds etc.).
     dec_path = os.path.join(workdir, "big.dec")
     t0 = time.perf_counter()
     res = subprocess.run(
         [sys.executable, "-m", "lz77_tpu.cli", "-d", "-i", dst,
-         "-o", dec_path],
+         "-o", dec_path, "--report"],
         capture_output=True, cwd=os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))),
     )
     self_dec_s = time.perf_counter() - t0
-    self_rss_mb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024
+    self_rss_mb = None
+    try:
+        rep = json.loads(res.stderr.decode().strip().splitlines()[-1])
+        self_rss_mb = float(rep["peak_rss_mb"])
+    except Exception:
+        pass
     ok_self = res.returncode == 0 and _chunk_equal(src, dec_path, n)
     if os.path.exists(dec_path):
         os.unlink(dec_path)
@@ -231,7 +240,9 @@ def run_big_streamed(gigabytes: float, workdir: str,
         "d2h_bytes_per_input_byte": round(stats.d2h_bytes / n, 3)
         if stats.d2h_bytes else None,
         "self_decode_mb_s": round(n / self_dec_s / 1e6, 2),
-        "self_decode_peak_rss_mb": round(self_rss_mb, 1),
+        "self_decode_peak_rss_mb": (
+            round(self_rss_mb, 1) if self_rss_mb is not None else None
+        ),
         "oracle_decode_mb_s": (
             round(n / oracle_dec_s / 1e6, 2) if oracle_dec_s else None
         ),

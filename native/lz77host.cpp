@@ -759,6 +759,216 @@ drained:
 
 }  // extern "C"
 
+// ---------------------------------------------------------------------------
+// Streamed bounded-memory encoder.
+//
+// The reference encodes arbitrarily large files in O(window) memory through
+// its FILE loop (lz77.c:51-140, bitio.c:80-101).  Same capability here as a
+// resumable state machine: the persistent state is the last d_limit bytes of
+// history, the matcher's hash chains, and the bit-writer carry.  Emitted
+// streams are byte-identical to lz77_encode for every input: the greedy
+// parse is gated on `p + max_len + 1 <= avail`, so every token's match cap
+// and lookahead are fully determined before it is emitted, and matcher
+// insertions are replayed lazily in the same order as the serial loop.
+//
+// Coordinates are absolute stream positions (int64); the window buffer
+// compacts by memmove + base shift, and hash-chain entries are never
+// rebased — the existing `p - q <= dlim` staleness checks expire them.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct EncStream {
+  int la = 0, sb = 0, off_bits = 0, len_bits = 0, max_len = 0, dlim = 0;
+  int64_t base = 0;   // absolute position of buf[0]
+  int64_t avail = 0;  // absolute position one past the last buffered byte
+  int64_t p = 0;      // absolute parse cursor
+  int64_t ins = 0;    // absolute next-position-to-insert into the matcher
+  std::vector<uint8_t> buf;
+  std::vector<int64_t> head;      // 2-gram -> most recent absolute position
+  std::vector<int64_t> prev;      // ring of chain links (absolute)
+  int64_t last_byte[256];
+  size_t rmask = 0;
+  std::vector<uint8_t> out;       // drained each feed
+  uint64_t acc = 0;               // bit-writer carry
+  int nbits = 0;
+
+  inline const uint8_t* at(int64_t q) const { return buf.data() + (q - base); }
+
+  inline void put(uint32_t value, int width) {
+    acc |= static_cast<uint64_t>(value) << nbits;
+    nbits += width;
+    while (nbits >= 8) {
+      out.push_back(static_cast<uint8_t>(acc & 0xFF));
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+
+  inline void insert_to(int64_t stop) {  // insert positions [ins, stop)
+    for (; ins < stop; ++ins) {
+      const uint8_t* s = at(ins);
+      last_byte[s[0]] = ins;
+      if (ins + 1 < avail) {
+        const uint32_t g = s[0] | (static_cast<uint32_t>(s[1]) << 8);
+        prev[static_cast<size_t>(ins) & rmask] = head[g];
+        head[g] = ins;
+      }
+    }
+  }
+
+  // Exact longest match at p (identical semantics to ChainMatcher::find).
+  inline void find(int cap_len, int* blen, int64_t* boff) const {
+    int best_len = 0;
+    int64_t best_off = 0;
+    if (cap_len >= 1 && dlim >= 1) {
+      const int64_t q1 = last_byte[*at(p)];
+      if (q1 >= 0 && p - q1 <= dlim) {
+        best_len = 1;
+        best_off = p - q1;
+      }
+      if (cap_len >= 2 && p + 1 < avail) {
+        const uint8_t* s = at(p);
+        const uint32_t g = s[0] | (static_cast<uint32_t>(s[1]) << 8);
+        for (int64_t q = head[g]; q >= 0 && p - q <= dlim;) {
+          const int l = 2 + match_len(s + 2, at(q) + 2, cap_len - 2);
+          if (l > best_len) {
+            best_len = l;
+            best_off = p - q;
+            if (l >= cap_len) break;
+          }
+          const int64_t qp = prev[static_cast<size_t>(q) & rmask];
+          if (qp >= q) break;  // stale ring slot
+          q = qp;
+        }
+      }
+    }
+    *blen = best_len;
+    *boff = best_off;
+  }
+
+  // Parse as far as the gate allows.  `final` lifts the lookahead gate at
+  // end of input (last-token shrinkage, lz77.c:87,134).
+  void parse(bool final) {
+    const int tok_bits = off_bits + len_bits + 8;
+    while (p < avail && (final || p + max_len + 1 <= avail)) {
+      insert_to(p);
+      const int cap_len = static_cast<int>(
+          avail - p - 1 < max_len ? avail - p - 1 : max_len);
+      int best_len;
+      int64_t best_off;
+      find(cap_len, &best_len, &best_off);
+      const uint8_t next = *at(p + best_len);
+      put(static_cast<uint32_t>(best_off) |
+              (static_cast<uint32_t>(best_len) << off_bits) |
+              (static_cast<uint32_t>(next) << (off_bits + len_bits)),
+          tok_bits);
+      p += best_len + 1;
+    }
+  }
+
+  void compact() {
+    // Keep [p - dlim, avail); everything older is beyond match range.
+    const int64_t live_from = p - dlim > base ? p - dlim : base;
+    const int64_t delta = live_from - base;
+    if (delta <= 0) return;
+    std::memmove(buf.data(), buf.data() + delta,
+                 static_cast<size_t>(avail - live_from));
+    base = live_from;
+    if (ins < live_from) ins = live_from;  // (cannot happen: ins >= p-? )
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Create a streamed encoder; returns nullptr on invalid parameters.
+void* lz77_enc_new(int la, int sb) {
+  if (la < 2 || la > 255 || sb < 1 || sb > 65535) return nullptr;
+  EncStream* s = new EncStream();
+  s->la = la;
+  s->sb = sb;
+  s->off_bits = bitof(sb);
+  s->len_bits = bitof(la);
+  s->max_len = la - 1;
+  s->dlim = s->off_bits >= 31
+      ? sb
+      : (sb < (1 << s->off_bits) - 1 ? sb : (1 << s->off_bits) - 1);
+  // Buffer: window + lookahead + compaction slack (amortizes the memmove
+  // to ~1/8 byte moved per input byte).
+  const int64_t min_sz = static_cast<int64_t>(s->dlim) + la + 2;
+  int64_t bsz = 8 * min_sz;
+  if (bsz < (1 << 20)) bsz = 1 << 20;
+  s->buf.resize(static_cast<size_t>(bsz));
+  s->head.assign(1 << 16, -1);
+  size_t ring = 64;
+  while (ring < static_cast<size_t>(2 * (s->dlim + 1))) ring <<= 1;
+  s->rmask = ring - 1;
+  s->prev.assign(ring, -1);
+  for (int i = 0; i < 256; ++i) s->last_byte[i] = -1;
+  s->put(static_cast<uint32_t>(sb), 16);  // header, lz77.c:74-75
+  s->put(static_cast<uint32_t>(la), 16);
+  return s;
+}
+
+void lz77_enc_free(void* sp) { delete static_cast<EncStream*>(sp); }
+
+// Feed `n` input bytes; parse every token whose lookahead is fully known;
+// drain up to `out_cap` stream bytes into `out`.  Returns bytes written or
+// -2 if `out_cap` is too small for the bytes already produced (nothing is
+// lost; call again with a larger buffer and n=0).  All `n` input bytes are
+// always consumed.
+int64_t lz77_enc_feed(void* sp, const uint8_t* in, int64_t n,
+                      uint8_t* out, int64_t out_cap) {
+  EncStream& s = *static_cast<EncStream*>(sp);
+  int64_t done = 0;
+  while (done < n) {
+    int64_t space = static_cast<int64_t>(s.buf.size()) - (s.avail - s.base);
+    if (space <= 0) {
+      s.parse(false);
+      s.compact();
+      space = static_cast<int64_t>(s.buf.size()) - (s.avail - s.base);
+      if (space <= 0) {  // cannot happen: buf >= 8*(dlim+la+2)
+        s.buf.resize(s.buf.size() * 2);
+        continue;
+      }
+    }
+    const int64_t take = n - done < space ? n - done : space;
+    std::memcpy(s.buf.data() + (s.avail - s.base), in + done,
+                static_cast<size_t>(take));
+    s.avail += take;
+    done += take;
+  }
+  s.parse(false);
+  s.compact();
+  if (static_cast<int64_t>(s.out.size()) > out_cap) return -2;
+  const int64_t produced = static_cast<int64_t>(s.out.size());
+  std::memcpy(out, s.out.data(), s.out.size());
+  s.out.clear();
+  return produced;
+}
+
+// Flush: parse the tail with end-of-input semantics, pad the final partial
+// byte (bitIO_close round-up, bitio.c:180-182), drain remaining bytes.
+// Returns bytes written or -2 if out_cap is too small (call again).
+int64_t lz77_enc_finish(void* sp, uint8_t* out, int64_t out_cap) {
+  EncStream& s = *static_cast<EncStream*>(sp);
+  if (s.p < s.avail) s.parse(true);
+  if (s.nbits > 0) {
+    s.out.push_back(static_cast<uint8_t>(s.acc & 0xFF));
+    s.acc = 0;
+    s.nbits = 0;
+  }
+  if (static_cast<int64_t>(s.out.size()) > out_cap) return -2;
+  const int64_t produced = static_cast<int64_t>(s.out.size());
+  std::memcpy(out, s.out.data(), s.out.size());
+  s.out.clear();
+  return produced;
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // Greedy-parse walk over a block's match-length table (device-produced).
