@@ -106,38 +106,14 @@ def _rot_pos(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return jnp.concatenate([x[..., k:, :], rolled], axis=-2)
 
 
-def _kernel(
-    scal_ref,    # (1,) int32 prefetch: valid_ext
-    planes_ref,  # (1, 9, RR, 128) int32: 8 bit-planes + validity
-    l_out,       # (1, 32, RR, 128) int32: L per position, strided rows
-    o_out,       # (1, 32, RR, 128) int32: O per position, strided rows
-    sp_scr,      # (9, RR, 128)
-    m_scr,       # (depth, RR, 128): run masks, then capped found masks
-    found_scr,   # (depth, RR, 128)
-    dp_scr,      # (dbits * depth, RR, 128)
-    dsel_scr,    # (dbits, RR, 128)
-    need_scr,    # (depth, RR, 128): saturation masks (early exit + caps)
-    *,
-    depth: int,
-    dlim: int,
-    dbits: int,
-    n_windows: int,
-    H: int,
-    nw: int,
-    rr: int,
-    record_offsets: bool = True,
-):
-    P = planes_ref[0]
-    sp_scr[...] = P
-    found_scr[...] = jnp.zeros_like(found_scr)
-    dp_scr[...] = jnp.zeros_like(dp_scr)
+def _init_need(need_scr, ve0, *, depth, H, nw, rr):
+    """Saturation masks for the early-exit check + extraction caps.
 
-    # ---- saturation masks for the early-exit check -------------------------
-    # need_scr[k] = positions whose (L, O) output depends on length k+1:
-    # inside the emitted range [H, H + ve), below the lookahead-shrinkage cap
-    # (same thresholds the extraction applies).  Once every needed bit is
-    # found, no later distance can change any output — stop the sweep.
-    ve0 = scal_ref[0]
+    need_scr[k] = positions whose (L, O) output depends on length k+1:
+    inside the emitted range [H, H + ve), below the lookahead-shrinkage cap
+    (same thresholds the extraction applies).  Once every needed bit is
+    found, no later distance can change any output — stop the sweep.
+    """
     row0 = lax.broadcasted_iota(jnp.int32, (rr, LANES), 0)
     col0 = lax.broadcasted_iota(jnp.int32, (rr, LANES), 1)
     w0 = col0 * rr + row0
@@ -159,6 +135,20 @@ def _kernel(
     for k in range(depth):
         need_scr[k] = mk0 & ~halo_mask
         mk0 = _clear(mk0, H + ve0 - k - 2)
+
+
+def _sweep_funcs(
+    P, sp_scr, m_scr, found_scr, dp_scr, need_scr, *, depth, dlim, dbits
+):
+    """The distance-window sweep bodies over shared scratch refs.
+
+    Returns (window, window_lengths_only): while-loop bodies with carry
+    (window_index, live).  Factored out of the single-block kernel so the
+    merged sweep+walk kernel (ops/fused_walk.py) can interleave scalar-core
+    walk groups into the same loop (VERDICT r4 next #1: the two stages
+    co-issue at ~96% efficiency when they share one loop body — measured,
+    experiments/coissue.py).
+    """
 
     def window_lengths_only(carry):
         # Measurement-only sweep variant (see find_matches_bitplane_pallas
@@ -288,6 +278,73 @@ def _kernel(
             missing = missing | (need_scr[k] & ~found_scr[k])
         return widx + 1, jnp.any(missing != 0)
 
+    return window, window_lengths_only
+
+
+def _cap_found(m_scr, found_scr, need_scr, *, depth):
+    """capped found: found_k & need_k (the extraction caps), into m_scr."""
+    for k in range(depth):  # k-th entry = length k+1
+        m_scr[k] = found_scr[k] & need_scr[k]
+
+
+def _dsel_body(b, m_scr, dp_scr, dsel_scr, *, depth, rr):
+    """Selection plane for distance bit b: mask_k picks positions whose
+    capped L == k+1 (capped found is monotone in k), OR-combined over the
+    distance planes."""
+    acc = jnp.zeros((rr, LANES), jnp.int32)
+    for k in range(depth):
+        nxt = m_scr[k + 1] if k + 1 < depth else jnp.zeros(
+            (rr, LANES), jnp.int32
+        )
+        acc = acc | (m_scr[k] & ~nxt & dp_scr[b * depth + k])
+    dsel_scr[b] = acc
+
+
+def _unpack_j(j, m_scr, dsel_scr, *, dbits, rr, record_offsets=True):
+    """(L, O) slabs for bit-position plane j from capped found + dsel."""
+    cf = m_scr[...]
+    l = ((cf >> j) & 1).sum(axis=0)
+    if record_offsets:
+        dv = (dsel_scr[0] >> j) & 1
+        for b in range(1, dbits):
+            dv = dv | (((dsel_scr[b] >> j) & 1) << b)
+    else:
+        dv = jnp.ones((rr, LANES), jnp.int32)  # measurement-only sentinel
+    return l, jnp.where(l > 0, dv, 0)
+
+
+def _kernel(
+    scal_ref,    # (1,) int32 prefetch: valid_ext
+    planes_ref,  # (1, 9, RR, 128) int32: 8 bit-planes + validity
+    l_out,       # (1, 32, RR, 128) int32: L per position, strided rows
+    o_out,       # (1, 32, RR, 128) int32: O per position, strided rows
+    sp_scr,      # (9, RR, 128)
+    m_scr,       # (depth, RR, 128): run masks, then capped found masks
+    found_scr,   # (depth, RR, 128)
+    dp_scr,      # (dbits * depth, RR, 128)
+    dsel_scr,    # (dbits, RR, 128)
+    need_scr,    # (depth, RR, 128): saturation masks (early exit + caps)
+    *,
+    depth: int,
+    dlim: int,
+    dbits: int,
+    n_windows: int,
+    H: int,
+    nw: int,
+    rr: int,
+    record_offsets: bool = True,
+):
+    P = planes_ref[0]
+    sp_scr[...] = P
+    found_scr[...] = jnp.zeros_like(found_scr)
+    dp_scr[...] = jnp.zeros_like(dp_scr)
+    _init_need(need_scr, scal_ref[0], depth=depth, H=H, nw=nw, rr=rr)
+
+    window, window_lengths_only = _sweep_funcs(
+        P, sp_scr, m_scr, found_scr, dp_scr, need_scr,
+        depth=depth, dlim=dlim, dbits=dbits,
+    )
+
     def cond(carry):
         widx, live = carry
         return (widx < n_windows) & live
@@ -299,35 +356,18 @@ def _kernel(
     )
 
     # ---- in-kernel extraction --------------------------------------------
-    # capped found: found_k & need_k — need_scr carries the cap thresholds
-    # computed for the early-exit check (halo positions zeroed; their rows
-    # are sliced away by the caller).
-    for k in range(depth):  # k-th entry = length k+1
-        m_scr[k] = found_scr[k] & need_scr[k]
-
-    # selection planes: mask_k picks positions whose capped L == k+1
-    # (capped found is monotone in k), OR-combined over the distance planes.
+    _cap_found(m_scr, found_scr, need_scr, depth=depth)
     if record_offsets:
         for b in range(dbits):
-            acc = jnp.zeros((rr, LANES), jnp.int32)
-            for k in range(depth):
-                nxt = m_scr[k + 1] if k + 1 < depth else jnp.zeros(
-                    (rr, LANES), jnp.int32
-                )
-                acc = acc | (m_scr[k] & ~nxt & dp_scr[b * depth + k])
-            dsel_scr[b] = acc
+            _dsel_body(b, m_scr, dp_scr, dsel_scr, depth=depth, rr=rr)
 
     def unpack(j, _):
-        cf = m_scr[...]
-        l = ((cf >> j) & 1).sum(axis=0)
-        if record_offsets:
-            dv = (dsel_scr[0] >> j) & 1
-            for b in range(1, dbits):
-                dv = dv | (((dsel_scr[b] >> j) & 1) << b)
-        else:
-            dv = jnp.ones((rr, LANES), jnp.int32)  # measurement-only sentinel
+        l, o = _unpack_j(
+            j, m_scr, dsel_scr, dbits=dbits, rr=rr,
+            record_offsets=record_offsets,
+        )
         l_out[0, pl.ds(j, 1)] = l[None]
-        o_out[0, pl.ds(j, 1)] = jnp.where(l > 0, dv, 0)[None]
+        o_out[0, pl.ds(j, 1)] = o[None]
         return 0
 
     lax.fori_loop(0, 32, unpack, 0)
