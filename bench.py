@@ -112,6 +112,21 @@ def measure_tpu(size_mb: int) -> dict | None:
         return None
     r["device"] = str(jax.devices()[0])
 
+    # Link-corrected e2e (VERDICT r4 weak #4): one stats-instrumented run of
+    # the same fused encode, subtracting the phases where the host sits
+    # blocked on tunnel transfers ("io" = upload/submit, "match" = payload
+    # fetch wait).  The raw tunnel-bound number stays alongside; this one
+    # carries round-over-round signal independent of WAN weather.
+    st = codec.EncodeStats()
+    t0 = time.perf_counter()
+    fused.encode_bytes_fused(data, params, stats=st, **kw)
+    dt = time.perf_counter() - t0
+    ph = st.phases.as_dict()
+    blocked = ph.get("io", 0.0) + ph.get("match", 0.0)
+    if dt - blocked > 1e-3:
+        r["encode_link_corrected_mb_s"] = len(data) / (dt - blocked) / 1e6
+        r["encode_link_blocked_share"] = round(blocked / dt, 3)
+
     # Device-resident fused encode throughput (match -> parse -> pack all on
     # device, slope-timed so the tunnel's fixed latency cancels): the number
     # that carries to a production deployment where host<->device moves at

@@ -227,12 +227,25 @@ def main(argv: list[str] | None = None) -> int:
     # memory for any stream size, like the reference (lz77.c:148-197).
     if args.mode == "decode" and (
         args.backend == "native"
-        or (args.backend == "jax" and args.decode_backend in ("auto", "native"))
+        or (args.backend == "jax"
+            and args.decode_backend in ("auto", "native", "device"))
     ):
         from . import native as native_lib
 
         try:
-            if native_lib.available():
+            if args.backend == "jax" and args.decode_backend == "device":
+                # streamed DEVICE decode: ring state carried across kernel
+                # invocations, bounded host memory at any stream size
+                from .models import codec
+
+                st = codec.DecodeStats()
+                n_out = codec.decode_file(
+                    args.input[0], args.output[0], backend="device",
+                    stats=st,
+                )
+                in_bytes = st.input_bytes
+                backend_used = st.backend
+            elif native_lib.available():
                 # Pure-native streamed route: no jax import on the decode
                 # hot path (matters for CLI latency on small files).
                 import os as os_lib

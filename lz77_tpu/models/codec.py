@@ -894,9 +894,173 @@ def decode_file(
         st.backend = "native-streamed"
         st.output_bytes = n
         return n
+    if backend == "device":
+        try:
+            return decode_file_device(in_path, out_path, stats=st)
+        except _DeviceStreamUnsupported:
+            pass  # window too wide for the walk kernel: whole-stream route
     with open(in_path, "rb") as f:
         data = f.read()
     out = decode_bytes(data, backend=backend, stats=st)
     with open(out_path, "wb") as f:
         f.write(out)
     return len(out)
+
+
+class _DeviceStreamUnsupported(Exception):
+    """Stream parameters outside the walk kernel's range (wide window)."""
+
+
+def decode_file_device(
+    in_path: str,
+    out_path: str,
+    *,
+    stats: DecodeStats | None = None,
+    tokens_per_stage: int = 1 << 19,
+    out_cap_words: int = 8 << 20,
+    interpret: bool | None = None,
+    read_tokens: int = 1 << 21,
+) -> int:
+    """File-to-file decode through the DEVICE walk kernel at bounded RSS.
+
+    Completes the device story for lz77.c:148-197: the whole-stream device
+    decoder materializes stream + output in RAM, while this one streams —
+    the kernel's SMEM ring state is carried across invocations by priming
+    each stage's ring tail with the last ``d_limit`` decoded bytes (the
+    window recycle, lz77.c:172-175), so stages chain exactly like one
+    invocation.  Host memory is bounded by the fixed stage buffers
+    (~tens of MB) regardless of stream size; every stage fetches exactly
+    its decoded bytes.
+
+    Offsets are validated against the available history before replay
+    (the SMEM ring would otherwise serve stale slots for a corrupt
+    offset); raises ValueError on corrupt streams like the native route.
+    """
+    import os
+
+    from ..ops import decode_walk
+
+    st = stats if stats is not None else DecodeStats()
+    st.requested = "device"
+    st.input_bytes = os.path.getsize(in_path)
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+
+    with open(in_path, "rb") as f:
+        hdr = f.read(spec.HEADER_BYTES)
+        if len(hdr) < spec.HEADER_BYTES:
+            raise ValueError("corrupt or truncated stream: no header")
+        sb = hdr[0] | (hdr[1] << 8)
+        la = hdr[2] | (hdr[3] << 8)
+        if not (spec.MIN_LA_SIZE <= la <= spec.MAX_LA_SIZE) or not (
+            1 <= sb <= spec.MAX_SB_SIZE
+        ):
+            raise ValueError(f"corrupt stream header: la={la} sb={sb}")
+        params = spec.Params(la=la, sb=sb)
+        if params.off_bits > decode_walk.MAX_OFF_BITS:
+            raise _DeviceStreamUnsupported(params.off_bits)
+        width = params.width
+        dlim = params.d_limit
+        TILE = decode_walk.TILE
+        rb = max(2 * TILE, 1 << (params.off_bits + 1))
+        wp = min(-(-dlim // TILE) * TILE, rb)
+        window = np.zeros(0, np.uint8)  # decoded history tail (<= wp)
+        hist = 0
+        total_out = 0
+        # tokens_per_stage % 8 == 0 keeps every file chunk byte-aligned
+        # (8 tokens always span a whole number of bytes at any width).
+        read_bytes = (read_tokens * width) // 8
+        carry = b""
+        stage_geo = decode_walk.decode_geometry(tokens_per_stage)
+        with open(out_path, "wb") as fout:
+            while True:
+                buf = f.read(read_bytes)
+                if not buf and not carry:
+                    break
+                chunk = carry + buf
+                eof = len(buf) < read_bytes
+                T_chunk = (len(chunk) * 8) // width
+                if not eof:
+                    T_chunk -= T_chunk % 8  # keep the tail byte-aligned
+                used_bytes = (
+                    len(chunk) if eof else (T_chunk * width) // 8
+                )
+                carry = b"" if eof else chunk[used_bytes:]
+                if T_chunk == 0:
+                    if eof:
+                        break
+                    continue
+                off, ln, nxt = bitio.bytes_to_tokens(
+                    np.frombuffer(chunk[:used_bytes], np.uint8), T_chunk,
+                    params,
+                ) if bitio.byte_aligned(params) else bitio.bits_to_tokens(
+                    np.unpackbits(
+                        np.frombuffer(chunk[:used_bytes], np.uint8),
+                        bitorder="little",
+                    )[: T_chunk * width],
+                    params,
+                )
+                # host-side validation: the ring replays only well-formed
+                # offsets (1 <= off <= min(d_limit, history)); a stale slot
+                # would otherwise decode garbage silently.
+                starts = hist + np.concatenate(
+                    [[0], np.cumsum(ln[:-1] + 1)]
+                ) if T_chunk else np.zeros(0, np.int64)
+                # (off is ignored when ln == 0, like every decoder here
+                # and the reference's copy loop, lz77.c:178-188)
+                bad = (ln > 0) & (
+                    (off == 0) | (off > dlim) | (off > starts)
+                )
+                if bad.any() or (ln > params.len_limit).any():
+                    raise ValueError("corrupt stream: invalid token")
+                done = 0
+                while done < T_chunk:
+                    k = min(tokens_per_stage, T_chunk - done)
+                    # bound the stage by the output budget
+                    cum = np.cumsum(ln[done : done + k] + 1)
+                    if cum[-1] > out_cap_words:
+                        k = int(np.searchsorted(
+                            cum, out_cap_words, side="right"
+                        ))
+                    sl = slice(done, done + k)
+                    toks3d, ng = decode_walk.stage_tokens(
+                        off[sl].astype(np.int32), ln[sl].astype(np.int32),
+                        nxt[sl].astype(np.int32),
+                    )
+                    if ng != stage_geo[1]:  # pad to the fixed stage shape
+                        full = np.zeros(
+                            (stage_geo[1], decode_walk.ROWS,
+                             decode_walk.DEFAULT_TCHUNK), np.int32,
+                        )
+                        full[:ng] = toks3d
+                        toks3d, ng = full, stage_geo[1]
+                    win_i32 = np.zeros(wp, np.int32)
+                    if window.shape[0]:
+                        win_i32[wp - window.shape[0]:] = window
+                    out_cap = -(-(out_cap_words + 1) // TILE) * TILE
+                    out, cnt = decode_walk.walk_decode(
+                        jnp.asarray(toks3d), jnp.int32(k),
+                        ng=ng, tchunk=decode_walk.DEFAULT_TCHUNK,
+                        off_bits=params.off_bits, out_cap=out_cap,
+                        interpret=interpret,
+                        win=jnp.asarray(win_i32), wp=wp,
+                    )
+                    n_out = int(cnt)
+                    from . import fused as fused_lib
+
+                    bk = min(max(fused_lib._bucket(n_out), TILE),
+                             out_cap)
+                    piece = np.asarray(out[:bk].astype(jnp.uint8))[:n_out]
+                    fout.write(piece)
+                    total_out += n_out
+                    hist += n_out
+                    if n_out >= wp:
+                        window = piece[-wp:]
+                    else:
+                        window = np.concatenate([window, piece])[-wp:]
+                    done += k
+                if eof:
+                    break
+    st.backend = "device-walk-streamed"
+    st.output_bytes = total_out
+    return total_out

@@ -59,8 +59,8 @@ MAX_OFF_BITS = 16  # ring = 2^(off_bits+1) int32 words of SMEM (<= 512 KiB)
 GROUP = 4          # independent copy slots per fast-path step (off >= GROUP)
 
 
-def _kernel(scal_ref, tok_ref, out_ref, cnt_ref, ring, st, sem,
-            *, ng, tchunk, rb):
+def _kernel(scal_ref, tok_ref, win_ref, out_ref, cnt_ref, ring, st, sem,
+            *, ng, tchunk, rb, wp):
     gidx = pl.program_id(0)
     T = scal_ref[0]
     mask = rb - 1
@@ -69,6 +69,20 @@ def _kernel(scal_ref, tok_ref, out_ref, cnt_ref, ring, st, sem,
     def _():
         st[0] = 0  # p: output byte cursor
         st[1] = 0  # fl: next output tile to flush
+        if wp:
+            # Window priming for STREAMED decode: history bytes (the last
+            # wp decoded positions of earlier chunks) land in the ring's
+            # tail, i.e. at the slots of positions -wp..-1, so match
+            # sources behind p=0 resolve exactly as if the whole stream
+            # were one invocation.  Slot reuse stays safe for any wp <= rb:
+            # the history byte a slot s holds (position s - rb) is rb > 
+            # 2^off_bits positions behind the cursor when p reaches s.
+            dma = pltpu.make_async_copy(
+                win_ref.at[pl.ds(0, wp)],
+                ring.at[pl.ds(pl.multiple_of(rb - wp, TILE), wp)], sem
+            )
+            dma.start()
+            dma.wait()
 
     def flush(k):
         src0 = pl.multiple_of((k * TILE) & mask, TILE)
@@ -186,7 +200,8 @@ def decode_geometry(T: int, tchunk: int = DEFAULT_TCHUNK):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ng", "tchunk", "off_bits", "out_cap", "interpret"),
+    static_argnames=("ng", "tchunk", "off_bits", "out_cap", "interpret",
+                     "wp"),
 )
 def walk_decode(
     toks3d: jnp.ndarray,  # (ng, ROWS, tchunk) int32 packed tokens
@@ -197,6 +212,8 @@ def walk_decode(
     off_bits: int,
     out_cap: int,         # TILE-multiple >= sum(len) + T
     interpret: bool = False,
+    win: jnp.ndarray | None = None,  # (wp,) int32 history bytes (streamed)
+    wp: int = 0,
 ):
     """Replay tokens -> (bytes_i32, out_len).
 
@@ -209,13 +226,21 @@ def walk_decode(
             f"walk decode supports off_bits <= {MAX_OFF_BITS}, got {off_bits}"
         )
     rb = max(2 * TILE, 1 << (off_bits + 1))
-    kf = functools.partial(_kernel, ng=ng, tchunk=tchunk, rb=rb)
+    if wp:
+        if wp % TILE or wp > rb:
+            raise ValueError("wp must be a TILE multiple <= ring size")
+        if win is None or win.shape[0] != wp:
+            raise ValueError("win must be a (wp,) int32 array")
+    else:
+        win = jnp.zeros((TILE,), jnp.int32)
+    kf = functools.partial(_kernel, ng=ng, tchunk=tchunk, rb=rb, wp=wp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ng,),
         in_specs=[
             pl.BlockSpec((1, ROWS, tchunk), lambda c, *_: (c, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -236,7 +261,7 @@ def walk_decode(
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(scal, toks3d)
+    )(scal, toks3d, win)
     return out, cnt[0]
 
 

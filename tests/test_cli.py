@@ -101,7 +101,7 @@ def test_decode_backend_flag(tmp_path, capsys, rng):
     for be, expect in (
         ("native", {"native", "native-streamed"}),
         ("host", {"host"}),
-        ("device", {"device-walk", "device-chunked"}),
+        ("device", {"device-walk", "device-chunked", "device-walk-streamed"}),
     ):
         out = tmp_path / f"out.{be}"
         assert run_cli(["-d", "-i", str(comp), "-o", str(out),
