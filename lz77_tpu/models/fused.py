@@ -299,11 +299,12 @@ def _resolve_fused_config(
 
         on_tpu = _jax.devices()[0].platform not in ("cpu",)
         parser = "walk" if (on_tpu and params.la <= parse_walk.OVER) else "scan"
-    if parser == "walk" and params.la > parse_walk.OVER:
+    if parser in ("walk", "merged") and params.la > parse_walk.OVER:
         raise ValueError("walk parser supports la <= 128")
     if sub_block is None:
         sub_block = (
-            parse_walk.DEFAULT_CHUNK if parser == "walk" else DEFAULT_SUB_BLOCK
+            parse_walk.DEFAULT_CHUNK if parser in ("walk", "merged")
+            else DEFAULT_SUB_BLOCK
         )
     if block_size is None:
         if matcher == "pallas_bitplane":
@@ -354,7 +355,21 @@ def iter_batches_fused(
     H, R = params.d_limit, params.len_limit
     nblocks = -(-n // B)
     num_batches = -(-nblocks // G)
-    step_fn = encode_batch_walk if parser == "walk" else encode_batch_device
+    # the merged sweep+walk kernel (ops/fused_walk.py) co-issues the match
+    # sweep with the walk parse on the VPU / scalar unit simultaneously;
+    # it requires the Pallas bit-plane matcher's geometry, so other
+    # matchers (and oversized shapes) keep the two-kernel walk pipeline.
+    merged = None
+    if parser in ("walk", "merged") and matcher == "pallas_bitplane":
+        from ..ops import fused_walk
+
+        if fused_walk.MERGED_DEFAULT or parser == "merged":
+            if fused_walk.geometry(params.la, params.sb, B, H, R) is not None:
+                merged = fused_walk.encode_batch_sweepwalk
+    step_fn = (
+        encode_batch_walk if parser in ("walk", "merged")
+        else encode_batch_device
+    )
     if phases is None and stats is not None:
         phases = stats.phases
     ph = phases if phases is not None else metrics_lib.PhaseTimes()
@@ -368,13 +383,20 @@ def iter_batches_fused(
         vt = min(G * B, n - g0 * B)
         if stats is not None:
             stats.h2d_bytes += sum(a.nbytes for a in (gb, gh, gr, ga, gv))
-        payload, counts, total, exit_entry = step_fn(
+        args = (
             jnp.asarray(gb), jnp.asarray(gh), jnp.asarray(gr),
-            jnp.asarray(ga), jnp.asarray(gv),
-            jnp.int32(vt), entry_dev,
-            la=params.la, sb=params.sb, matcher=matcher,
-            sub_block=sub_block,
+            jnp.asarray(ga), jnp.asarray(gv), jnp.int32(vt), entry_dev,
         )
+        if merged is not None:
+            payload, counts, total, exit_entry = merged(
+                *args, la=params.la, sb=params.sb
+            )
+        else:
+            payload, counts, total, exit_entry = step_fn(
+                *args,
+                la=params.la, sb=params.sb, matcher=matcher,
+                sub_block=sub_block,
+            )
         return bi, payload, total, exit_entry
 
     def fetch(handle, e_in: int):

@@ -178,12 +178,20 @@ def _sweep_funcs(
             missing = missing | (need_scr[k] & ~found_scr[k])
         return widx + 1, jnp.any(missing != 0)
 
-    def window(carry):
-        widx, _ = carry
+    def window_core(widx, inter=None):
+        # ``inter``: straight-line callback invoked after each distance
+        # sub-step.  The merged sweep+walk kernel (ops/fused_walk.py) uses
+        # it to inline predicated scalar walk slots INTO this unrolled
+        # body: Mosaic packs scalar and vector slots of the same basic
+        # block into shared VLIW bundles, which is the only overlap
+        # mechanism that works (measured: nested loops / sequential nests
+        # get ~0% overlap, experiments/coissue.py).
         base = widx * 32
         fstart = found_scr[...]
         win = snapA = snapB = snapC = None
         for i in range(32):
+            if inter is not None:
+                inter()
             spn = _rot_src(sp_scr[...])
             sp_scr[...] = spn
             acc = spn[0] ^ P[0]
@@ -200,6 +208,8 @@ def _sweep_funcs(
                 # overlap them with the AND chain.
                 m = m & _rot_pos(eq, k)
                 m_scr[k] = m
+            if inter is not None:
+                inter()  # second fine-grained co-issue point per distance
             t = i + 1
             # ``newly`` (the first-touch set) is materialized only on steps
             # that fold it into a distance plane; on pure bookkeeping steps
@@ -270,15 +280,26 @@ def _sweep_funcs(
             dp_scr[s : s + depth] = jnp.where(
                 hot != 0, dp_scr[s : s + depth] | win, dp_scr[s : s + depth]
             )
-        # Early exit: every needed (position, length<=cap) bit found means no
-        # later distance can change any emitted output (runs-class inputs
-        # saturate after a handful of windows; ~1% overhead on text).
+
+    def missing_any():
+        # Early-exit condition: every needed (position, length<=cap) bit
+        # found means no later distance can change any emitted output
+        # (runs-class inputs saturate after a handful of windows; ~1%
+        # overhead on text).  NOTE: reading this forces a vector->scalar
+        # sync that drains the VPU queue — callers interleaving scalar
+        # work (ops/fused_walk.py) must issue it only once per window
+        # GROUP, after the scalar work, or the overlap is lost.
         missing = need_scr[0] & ~found_scr[0]
         for k in range(1, depth):
             missing = missing | (need_scr[k] & ~found_scr[k])
-        return widx + 1, jnp.any(missing != 0)
+        return jnp.any(missing != 0)
 
-    return window, window_lengths_only
+    def window(carry):
+        widx, _ = carry
+        window_core(widx)
+        return widx + 1, missing_any()
+
+    return window, window_lengths_only, window_core, missing_any
 
 
 def _cap_found(m_scr, found_scr, need_scr, *, depth):
@@ -340,7 +361,7 @@ def _kernel(
     dp_scr[...] = jnp.zeros_like(dp_scr)
     _init_need(need_scr, scal_ref[0], depth=depth, H=H, nw=nw, rr=rr)
 
-    window, window_lengths_only = _sweep_funcs(
+    window, window_lengths_only, _, _ = _sweep_funcs(
         P, sp_scr, m_scr, found_scr, dp_scr, need_scr,
         depth=depth, dlim=dlim, dbits=dbits,
     )
@@ -371,6 +392,27 @@ def _kernel(
         return 0
 
     lax.fori_loop(0, 32, unpack, 0)
+
+
+def _prep_planes(block, halo, right, avail, valid_ext, *, nw, H, n_real):
+    """(9, rr, 128) column-major bit-planes + validity for one block span.
+
+    Word c*rr + r lives at element (r, c) (the column-major layout the
+    sweep kernels want); bit j of plane word w = position ``w + j * nw``.
+    """
+    rr = nw // LANES
+    n_tot = 32 * nw
+    buf = jnp.concatenate(
+        [halo, block, right, jnp.zeros((n_tot - n_real,), jnp.uint8)]
+    )
+    planes = bitplane._to_planes(buf, nw)  # (8, nw) flat word order
+    pos = (
+        jnp.arange(32, dtype=jnp.int32)[:, None] * nw
+        + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    )
+    vplane = bitplane._pack_mask((pos >= H - avail) & (pos < H + valid_ext))
+    pv = jnp.concatenate([planes, vplane[None, :]], axis=0)  # (9, nw)
+    return pv.reshape(9, LANES, rr).transpose(0, 2, 1)
 
 
 def find_matches_bitplane_pallas(
@@ -425,18 +467,9 @@ def find_matches_bitplane_pallas(
             block, halo, right, avail, valid_ext, la=la, sb=sb
         )
 
-    buf = jnp.concatenate(
-        [halo, block, right, jnp.zeros((n_tot - n_real,), jnp.uint8)]
-    )
-    planes = bitplane._to_planes(buf, nw)  # (8, nw) flat word order
-    pos = (
-        jnp.arange(32, dtype=jnp.int32)[:, None] * nw
-        + jnp.arange(nw, dtype=jnp.int32)[None, :]
-    )
-    vplane = bitplane._pack_mask((pos >= H - avail) & (pos < H + valid_ext))
-    pv = jnp.concatenate([planes, vplane[None, :]], axis=0)  # (9, nw)
-    # column-major word layout: word c*RR + r at element (r, c)
-    pv_cm = pv.reshape(1, 9, LANES, rr).transpose(0, 1, 3, 2)
+    pv_cm = _prep_planes(
+        block, halo, right, avail, valid_ext, nw=nw, H=H, n_real=n_real
+    )[None]
 
     dbits = max(dlim.bit_length(), 6)
     n_windows = -(-dlim // 32)
