@@ -204,7 +204,7 @@ def _kernel(
     # boundaries.  ``pe`` caps token STARTS at min(pace target, staged
     # plane end, block end), so jcur/slot are loop-invariant inside a
     # window; overhang reads may touch plane jcur+1, which is staged.
-    SLOTS = int(__import__("os").environ.get("LZ77_FW_SLOTS", "6"))
+    SLOTS = int(__import__("os").environ.get("LZ77_FW_SLOTS", "2"))
 
     def make_inter(cell):
         def inter():
