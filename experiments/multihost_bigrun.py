@@ -23,6 +23,15 @@ WORKER = r"""
 import json, os, sys, time
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("XLA_FLAGS", None)
+cfg0 = json.load(open(sys.argv[1]))
+pid0 = int(sys.argv[2])
+cores = sorted(os.sched_getaffinity(0))
+if len(cores) >= 1:
+    # pin each worker to one core + one XLA thread: honest strong scaling
+    os.sched_setaffinity(0, {cores[pid0 % len(cores)]})
+    os.environ["XLA_FLAGS"] = (
+        "--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+    )
 import jax
 jax.config.update("jax_platforms", "cpu")
 cfg = json.load(open(sys.argv[1]))
@@ -33,7 +42,7 @@ if n > 1:
 from lz77_tpu import spec
 from lz77_tpu.parallel import distributed
 
-params = spec.Params()
+params = spec.Params(la=cfg.get("la", 15), sb=cfg.get("sb", 15))
 t0 = time.perf_counter()
 distributed.encode_file_multihost(
     cfg["data_path"], cfg["out_path"], params,
@@ -114,7 +123,7 @@ def main():
                 i += 1
     print(json.dumps({"phase": "corpus", "bytes": n}), flush=True)
 
-    block_size, batch_blocks, matcher = 1 << 18, 8, "chunked"
+    block_size, batch_blocks, matcher = 1 << 18, 8, "bitplane"
     ref_stream_path = None
     walls = {}
     for np_ in nprocs:
