@@ -123,7 +123,7 @@ def main():
                 i += 1
     print(json.dumps({"phase": "corpus", "bytes": n}), flush=True)
 
-    block_size, batch_blocks, matcher = 1 << 18, 8, "bitplane"
+    block_size, batch_blocks, matcher = 1 << 18, int(os.environ.get("MH_BATCH_BLOCKS", "8")), "bitplane"
     ref_stream_path = None
     walls = {}
     for np_ in nprocs:
