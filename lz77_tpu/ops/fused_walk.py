@@ -84,6 +84,7 @@ def _kernel(
     B: int,
     ob: int,
     lb: int,
+    interp: bool = False,
 ):
     gidx = pl.program_id(0)
     valid_total = scal_ref[1]
@@ -265,7 +266,10 @@ def _kernel(
             depth=depth, dlim=dlim, dbits=dbits,
         )
 
-        KW = 4
+        # KW windows unroll per while-body (one early-exit sync per group).
+        # Interpret mode keeps KW=1: the unrolled body is compile-time-
+        # dominated on XLA CPU (4x body => minutes per geometry in tests).
+        KW = 1 if interp else 4
         n_groups = -(-n_windows // KW)
 
         def merged_group(carry):
@@ -410,7 +414,7 @@ def encode_batch_sweepwalk(
     kf = functools.partial(
         _kernel, G=G, depth=depth, dlim=dlim, dbits=dbits,
         n_windows=n_windows, H=H, nw=nw, rr=rr, B=B,
-        ob=params.off_bits, lb=params.len_bits,
+        ob=params.off_bits, lb=params.len_bits, interp=interpret,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -46,23 +46,25 @@ def _encode_merged(data: bytes, params: spec.Params, B: int, G: int) -> bytes:
 @pytest.fixture(scope="module")
 def mixed(rng):
     return (
-        make_text(rng, 50_000)
-        + b"\x00" * 8_000
-        + np.asarray(rng.integers(0, 256, 6_000, dtype=np.uint8)).tobytes()
+        make_text(rng, 20_000)
+        + b"\x00" * 5_000
+        + np.asarray(rng.integers(0, 256, 3_000, dtype=np.uint8)).tobytes()
     )
 
 
 @pytest.mark.parametrize(
     "la,sb",
-    [(5, 31), (15, 15)]
+    [(5, 31), (9, 15)]
     + ([(15, 4095)] if os.environ.get("LZ77_HEAVY_TESTS") else []),
 )
 def test_merged_stream_identity(mixed, la, sb):
-    # (15, 4095) interprets ~128 distance windows x inline slots — minutes
-    # on the CPU interpreter, so it is opt-in here; the geometry is
-    # hardware-verified every round by the bench's merged-kernel row.
+    # Interpret-mode geometries keep depth small: XLA CPU segfaults
+    # compiling the kernel's unrolled body at depth=14 (la=15), so la=15
+    # coverage is hardware-only (the bench's merged-kernel identity row
+    # runs (15, 4095) on the real chip every round); (15, 4095) interpret
+    # stays opt-in for big machines.
     p = spec.Params(la=la, sb=sb)
-    B, G = 16384, 2
+    B, G = 8192, 2
     if fused_walk.geometry(la, sb, B, p.d_limit, p.len_limit) is None:
         pytest.skip("geometry unsupported at this size")
     s = _encode_merged(mixed, p, B, G)
@@ -72,10 +74,10 @@ def test_merged_stream_identity(mixed, la, sb):
 
 def test_merged_ragged_and_tiny(mixed):
     p = spec.Params(la=5, sb=31)
-    for n in (100, 1, 0, 20_000, 33_000):
+    for n in (100, 1, 0, 9_000, 20_000):
         data = mixed[:n]
-        s = _encode_merged(data, p, 16384, 2)
-        assert s == codec.encode_bytes(data, p, block_size=16384,
+        s = _encode_merged(data, p, 8192, 2)
+        assert s == codec.encode_bytes(data, p, block_size=8192,
                                        batch_blocks=2), n
 
 
@@ -83,19 +85,19 @@ def test_merged_runs_early_exit():
     """Zeros saturate the sweep's early exit after a handful of windows;
     the walk must still drain the full block."""
     p = spec.Params(la=5, sb=31)
-    data = b"\x00" * 40_000
-    s = _encode_merged(data, p, 16384, 2)
-    assert s == codec.encode_bytes(data, p, block_size=16384, batch_blocks=2)
+    data = b"\x00" * 24_000
+    s = _encode_merged(data, p, 8192, 2)
+    assert s == codec.encode_bytes(data, p, block_size=8192, batch_blocks=2)
     assert codec.decode_bytes(s) == data
 
 
 def test_merged_entry_carry_across_batches(rng):
     """Multi-batch: the exit overhang must chain as the next batch's entry
     (runs make every block boundary land mid-token)."""
-    p = spec.Params(la=15, sb=15)
-    data = b"ab" * 4_000 + b"\x00" * 30_000 + make_text(rng, 31_000)
-    s = _encode_merged(data, p, 16384, 1)  # 1 block/batch: max carries
-    assert s == codec.encode_bytes(data, p, block_size=16384, batch_blocks=1)
+    p = spec.Params(la=9, sb=15)
+    data = b"ab" * 2_000 + b"\x00" * 12_000 + make_text(rng, 12_000)
+    s = _encode_merged(data, p, 8192, 1)  # 1 block/batch: max carries
+    assert s == codec.encode_bytes(data, p, block_size=8192, batch_blocks=1)
 
 
 def test_geometry_gates():
