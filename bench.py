@@ -123,9 +123,11 @@ def measure_tpu(size_mb: int) -> dict | None:
     dt = time.perf_counter() - t0
     ph = st.phases.as_dict()
     blocked = ph.get("io", 0.0) + ph.get("match", 0.0)
-    if dt - blocked > 1e-3:
-        r["encode_link_corrected_mb_s"] = len(data) / (dt - blocked) / 1e6
-        r["encode_link_blocked_share"] = round(blocked / dt, 3)
+    r["encode_link_blocked_share"] = round(blocked / dt, 3)
+    if dt - blocked > 0.02 * dt:
+        r["encode_link_corrected_mb_s"] = round(
+            len(data) / (dt - blocked) / 1e6, 2
+        )
 
     # Device-resident fused encode throughput (match -> parse -> pack all on
     # device, slope-timed so the tunnel's fixed latency cancels): the number
@@ -474,7 +476,9 @@ def measure_sharded_multishard() -> dict | None:
     from lz77_tpu import spec
 
     params = spec.Params()
-    data = make_text(1 << 20) + b"\x00" * (256 << 10) + make_text(1 << 20)
+    data = make_text(640 << 10) + b"\x00" * (128 << 10) + make_text(
+        512 << 10
+    )
     m = mesh_lib.make_mesh(n_data=4, n_win=2)
     B = 64 << 10
 
@@ -489,13 +493,10 @@ def measure_sharded_multishard() -> dict | None:
     s, st = run()
     if codec.decode_bytes(s) != data:
         return None
-    best, best_st = float("inf"), st
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _, st2 = run()
-        dt = time.perf_counter() - t0
-        if dt < best:
-            best, best_st = dt, st2
+    t0 = time.perf_counter()
+    _, st2 = run()
+    best = time.perf_counter() - t0
+    best_st = st2
     return {
         "sharded_multishard_e2e_mb_s": round(len(data) / best / 1e6, 3),
         "sharded_multishard_mesh": "4x2",
@@ -550,7 +551,7 @@ def main() -> int:
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=900,
+            env=env, capture_output=True, text=True, timeout=1100,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("CHILD_RESULT "):

@@ -116,3 +116,17 @@ CORPUS_SMALL = {
     "random": lambda rng: rng.integers(0, 256, 2048, dtype=np.uint8).tobytes(),
     "alpha_cycle": lambda rng: bytes(i % 251 for i in range(5000)),
 }
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the round-5 giant-compile files LAST.
+
+    XLA CPU deterministically segfaults compiling an (old, previously fine)
+    Pallas kernel when it follows the merged sweep+walk kernel's very large
+    interpret compiles plus the rest of the early suite in one process —
+    a compiler-state accumulation, not a test bug (every bisected subset
+    passes).  Ordering the big new compiles after the classic ones keeps
+    the one-process suite green; the tests themselves are order-independent.
+    """
+    late = ("test_fused_walk.py", "test_device_stream_decode.py")
+    items.sort(key=lambda it: it.fspath.basename in late)
